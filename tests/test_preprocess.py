@@ -1,0 +1,156 @@
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from medical_image_generation_tpu.io.volstore import open_volume
+from medical_image_generation_tpu.planning import preprocess as pp
+from medical_image_generation_tpu.planning.cli import plan_and_preprocess
+from medical_image_generation_tpu.planning.fingerprint import (
+    compute_laplacian_variance,
+    otsu_threshold,
+)
+
+from synth import make_synthetic_dataset
+
+
+class TestNormalization:
+    def test_zscore_minmax_range_and_minmax_record(self):
+        rng = np.random.default_rng(0)
+        img = rng.normal(10, 5, size=(2, 4, 8, 8)).astype(np.float32)
+        out, mm = pp.normalize_zscore_then_minmax(img)
+        assert out.shape == img.shape
+        for c in range(2):
+            assert out[c].min() == pytest.approx(0.0, abs=1e-6)
+            assert out[c].max() == pytest.approx(1.0, abs=1e-6)
+            assert mm[c][0] == pytest.approx(float(img[c].min()))
+            assert mm[c][1] == pytest.approx(float(img[c].max()))
+
+    def test_constant_channel_no_nan(self):
+        img = np.full((1, 2, 4, 4), 7.0, dtype=np.float32)
+        out, _ = pp.normalize_zscore_then_minmax(img)
+        assert np.all(np.isfinite(out))
+
+    def test_foreground_percentiles_preserves_background(self):
+        img = np.zeros((1, 4, 6, 6), dtype=np.float32)
+        img[0, 1:3, 1:5, 1:5] = np.linspace(1, 100, 32).reshape(2, 4, 4)
+        out, mm = pp.normalize_foreground_percentiles(img)
+        assert np.all(out[img == 0] == 0)
+        assert out.max() <= 1.0
+
+
+class TestResample:
+    def test_isotropic_upsample_shape(self):
+        img = np.random.default_rng(1).normal(size=(10, 10, 10))
+        out = pp.resample_image(img, [2.0, 2.0, 2.0], [1.0, 1.0, 1.0])
+        assert out.shape == (20, 20, 20)
+
+    def test_no_resample_when_spacing_matches(self):
+        img = np.ones((5, 5, 5))
+        out = pp.resample_image(img, [1, 1, 1], [1, 1, 1])
+        assert out is img
+
+    def test_anisotropic_lowres_axis_nearest(self):
+        # low-res axis uses order 0: values come from nearest slices only
+        img = np.zeros((4, 16, 16))
+        img[1] = 1.0
+        out = pp.resample_image(img, [5.0, 1.0, 1.0], [2.5, 1.0, 1.0])
+        vals = np.unique(np.round(out, 6))
+        assert set(vals).issubset({0.0, 1.0})
+
+    def test_label_resample_classes_preserved(self):
+        lbl = np.zeros((8, 8, 8), dtype=np.int32)
+        lbl[2:5, 2:5, 2:5] = 1
+        lbl[5:7, 5:7, 5:7] = 2
+        out = pp.resample_label(lbl, [2, 2, 2], [1, 1, 1])
+        assert out.shape == (16, 16, 16)
+        assert set(np.unique(out)).issubset({0, 1, 2})
+        assert (out == 1).sum() > 0 and (out == 2).sum() > 0
+
+    def test_crop_to_nonzero(self):
+        img = np.zeros((10, 10, 10))
+        img[2:5, 3:7, 1:9] = 1.0
+        cropped, _, (mins, maxs) = pp.crop_to_nonzero(img)
+        assert cropped.shape == (3, 4, 8)
+        assert list(mins) == [2, 3, 1]
+
+
+class TestClassLocations:
+    def test_sampling_caps_per_slice(self):
+        lbl = np.zeros((3, 30, 30), dtype=np.uint8)
+        lbl[0] = 1  # 900 voxels in slice 0
+        lbl[1, :2, :2] = 2
+        locs = pp.get_sampled_class_locations(lbl, samples_per_slice=50)
+        assert len(locs[1]) == 50
+        assert len(locs[2]) == 4
+        for z, y, x in locs[1]:
+            assert z == 0 and lbl[z, y, x] == 1
+
+
+class TestQuality:
+    def test_laplacian_variance_sharper_is_higher(self):
+        rng = np.random.default_rng(2)
+        sharp = rng.normal(size=(64, 64))
+        from scipy import ndimage
+
+        blurred = ndimage.gaussian_filter(sharp, 3.0)
+        assert compute_laplacian_variance(sharp) > compute_laplacian_variance(blurred)
+
+    def test_otsu_separates_bimodal(self):
+        rng = np.random.default_rng(3)
+        low = rng.normal(1, 0.1, 100)
+        high = rng.normal(10, 0.1, 100)
+        t = otsu_threshold(np.concatenate([low, high]))
+        # threshold is a bin center, so the topmost low sample may sit just
+        # above it (same granularity as skimage); allow 1 straggler
+        assert np.sum(low > t) <= 1 and np.all(high > t)
+
+
+@pytest.mark.slow
+class TestEndToEndPlan:
+    def test_plan_and_preprocess(self, tmp_path):
+        raw = make_synthetic_dataset(str(tmp_path / "raw"), n_patients=4)
+        out_root = str(tmp_path / "preprocessed")
+        os.makedirs(out_root)
+        ds_path = plan_and_preprocess(
+            raw, preprocessed_root=out_root, max_workers=0, probe_memory=False
+        )
+
+        # dataset.json contract (reference configuration.py:1606-1619)
+        with open(os.path.join(ds_path, "dataset.json")) as f:
+            dj = json.load(f)
+        for key in (
+            "median_shape", "min_shape", "max_shape", "median_spacing",
+            "channel_mins", "channel_maxs", "n_classes", "class_labels",
+            "n_channels", "n_patients",
+        ):
+            assert key in dj
+        assert dj["n_patients"] == 4
+        assert dj["n_channels"] == 1
+        assert set(dj["class_labels"]) == {1, 2}
+
+        # medimgen_config.yaml {2D,3D} schema (configuration.py:1657-1674)
+        with open(os.path.join(ds_path, "medimgen_config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        assert set(cfg.keys()) == {"2D", "3D"}
+        for mode in ("2D", "3D"):
+            c = cfg[mode]
+            assert "vae_params" in c and "ddpm_params" in c
+            assert "ae_transformations" in c and "time_scheduler_params" in c
+
+        # preprocessed volumes + properties exist and are loadable
+        imgs = sorted(os.listdir(os.path.join(ds_path, "imagesTr")))
+        vs_files = [f for f in imgs if f.endswith(".vs")]
+        pkl_files = [f for f in imgs if f.endswith(".pkl")]
+        assert len(vs_files) == 4 and len(pkl_files) == 4
+        vol = open_volume(os.path.join(ds_path, "imagesTr", vs_files[0]))
+        assert vol.ndim == 4  # (C, Z, Y, X)
+        data = vol.read_full()
+        assert data.min() >= 0.0 and data.max() <= 1.0
+
+        props = pp.load_properties(
+            os.path.join(ds_path, "imagesTr"), vs_files[0].replace(".vs", "")
+        )
+        assert "class_locations" in props and "min_max" in props
