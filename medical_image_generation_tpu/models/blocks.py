@@ -1,0 +1,209 @@
+"""Dimension-generic Flax building blocks for 2D/3D generative networks.
+
+Channels-last layout throughout — (B, *spatial, C) — which is what XLA:TPU
+convolutions natively tile onto the MXU. Per-level, per-axis strides /
+kernels / paddings (the reference forks' key feature,
+autoencoderkl_with_strides.py:52-135, diffusion_model_unet_with_strides.py:
+1759-1763) are first-class arguments, driven by the planner's
+``compute_downsample_parameters`` output.
+
+Norms run in float32 regardless of the compute dtype (bf16-safe); attention
+uses the shared ops.attention entry point (Pallas flash attention on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medical_image_generation_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def _per_axis(value, ndim: int) -> Tuple[int, ...]:
+    if isinstance(value, int):
+        return (value,) * ndim
+    return tuple(int(v) for v in value)
+
+
+def _pad_pairs(padding, ndim: int):
+    p = _per_axis(padding, ndim)
+    return [(v, v) for v in p]
+
+
+class ConvND(nn.Module):
+    """Conv with per-axis kernel/stride/padding over N spatial dims."""
+
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 1
+    spatial_dims: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=_per_axis(self.kernel_size, self.spatial_dims),
+            strides=_per_axis(self.strides, self.spatial_dims),
+            padding=_pad_pairs(self.padding, self.spatial_dims),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+        )(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm computed in float32, output cast back to the compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return h.astype(self.dtype)
+
+
+class ResBlock(nn.Module):
+    """GN -> SiLU -> conv -> GN -> SiLU -> conv with 1x1 shortcut on channel
+    change; optional additive time embedding after the first conv
+    (reference autoencoderkl_with_strides.py:136-204,
+    diffusion_model_unet_with_strides.py:591-701)."""
+
+    out_channels: int
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    spatial_dims: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, self.dtype)(x)
+        h = nn.silu(h)
+        h = ConvND(
+            self.out_channels, 3, 1, 1, self.spatial_dims, dtype=self.dtype, kernel_init=nn.initializers.lecun_normal()
+        )(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32)(
+                nn.silu(temb)
+            )
+            h = h + t.reshape(t.shape[0], *([1] * self.spatial_dims), t.shape[-1])
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, self.dtype)(h)
+        h = nn.silu(h)
+        h = ConvND(self.out_channels, 3, 1, 1, self.spatial_dims, dtype=self.dtype)(h)
+        if in_channels != self.out_channels:
+            x = ConvND(self.out_channels, 1, 1, 0, self.spatial_dims, dtype=self.dtype)(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over the flattened spatial grid.
+
+    The 3D "long sequence" case (Z*Y*X tokens) flattens to one sequence and
+    runs flash attention (reference autoencoderkl_with_strides.py:207-323
+    used xformers; here: Pallas / XLA fused attention via ops.attention).
+    """
+
+    num_head_channels: int = -1  # -1 => single head over all channels
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        channels = x.shape[-1]
+        num_heads = channels // self.num_head_channels if self.num_head_channels > 0 else 1
+        head_dim = channels // num_heads
+
+        spatial = x.shape[1:-1]
+        b = x.shape[0]
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, self.dtype)(x)
+        seq = h.reshape(b, -1, channels)
+
+        qkv = nn.Dense(3 * channels, dtype=self.dtype, param_dtype=jnp.float32)(seq)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, -1, num_heads, head_dim)
+        k = k.reshape(b, -1, num_heads, head_dim)
+        v = v.reshape(b, -1, num_heads, head_dim)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, -1, channels)
+        out = nn.Dense(channels, dtype=self.dtype, param_dtype=jnp.float32)(out)
+        return x + out.reshape(b, *spatial, channels)
+
+
+class Downsample(nn.Module):
+    """Strided conv downsample with per-axis geometry
+    (reference autoencoderkl_with_strides.py:109-133)."""
+
+    stride: Sequence[int] | int
+    kernel_size: Sequence[int] | int
+    padding: Sequence[int] | int
+    spatial_dims: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return ConvND(
+            x.shape[-1], self.kernel_size, self.stride, self.padding,
+            self.spatial_dims, dtype=self.dtype,
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor upsample by per-axis stride factors + 3x3 conv, or
+    transposed conv (reference autoencoderkl_with_strides.py:52-106)."""
+
+    stride: Sequence[int] | int
+    kernel_size: Sequence[int] | int = 3
+    padding: Sequence[int] | int = 1
+    spatial_dims: int = 3
+    use_convtranspose: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stride = _per_axis(self.stride, self.spatial_dims)
+        if self.use_convtranspose:
+            return nn.ConvTranspose(
+                features=x.shape[-1],
+                kernel_size=_per_axis(self.kernel_size, self.spatial_dims),
+                strides=stride,
+                padding=_pad_pairs(self.padding, self.spatial_dims),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        # nearest upsample: repeat along each strided axis (cheap, layout-friendly)
+        h = x
+        for axis, s in enumerate(stride):
+            if s > 1:
+                h = jnp.repeat(h, s, axis=axis + 1)
+        return ConvND(x.shape[-1], 3, 1, 1, self.spatial_dims, dtype=self.dtype)(h)
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding
+    (reference diffusion_model_unet_with_strides.py:461-480)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb

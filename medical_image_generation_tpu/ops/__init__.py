@@ -1,0 +1,3 @@
+from medical_image_generation_tpu.ops.attention import dot_product_attention
+
+__all__ = ["dot_product_attention"]

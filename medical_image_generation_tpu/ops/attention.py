@@ -1,0 +1,61 @@
+"""Attention over flattened 2D/3D token grids.
+
+The reference relies on xformers ``memory_efficient_attention`` when
+available (autoencoderkl_with_strides.py:262-269,
+diffusion_model_unet_with_strides.py:120-131). The TPU-native equivalent is a
+Pallas flash-attention kernel (ops/pallas_attention.py) for the MXU, with
+``jax.nn.dot_product_attention`` as the portable fallback (CPU tests,
+interpret mode, or shapes the kernel doesn't cover).
+
+All entry points take (batch, seq, heads, head_dim) — "BSHD" — matching
+jax.nn.dot_product_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _use_pallas(q_shape, head_dim: int) -> bool:
+    if os.environ.get("MEDIMGEN_DISABLE_PALLAS_ATTN"):
+        return False
+    if not _on_tpu():
+        return False
+    # the kernel wants lane-aligned head dims and enough tokens to tile
+    return head_dim % 128 == 0 or head_dim in (32, 64)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Scaled dot-product attention, BSHD layout, no masking.
+
+    Image-generation attention here is always full (no causal mask): tokens
+    are flattened spatial grids (reference autoencoderkl_with_strides.py:295-298).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if _use_pallas(q.shape, q.shape[-1]):
+        try:
+            from medical_image_generation_tpu.ops.pallas_attention import flash_attention
+
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:  # pragma: no cover - fall back on any kernel issue
+            pass
+    return jax.nn.dot_product_attention(q, k, v, scale=scale)
