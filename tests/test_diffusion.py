@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_generation_tpu.diffusion import NoiseSchedule, ddim_sample, ddpm_sample
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return NoiseSchedule.create(num_train_timesteps=100)
+
+
+class TestSchedule:
+    def test_scaled_linear_betas(self, sched):
+        betas = np.asarray(sched.betas)
+        assert betas[0] == pytest.approx(0.0015, rel=1e-5)
+        assert betas[-1] == pytest.approx(0.0205, rel=1e-5)
+        # scaled-linear: sqrt(beta) is linear
+        sq = np.sqrt(betas)
+        diffs = np.diff(sq)
+        assert np.allclose(diffs, diffs[0], rtol=1e-4)
+
+    def test_add_noise_endpoints(self, sched):
+        x0 = jnp.ones((2, 4, 4, 1))
+        noise = jnp.zeros_like(x0)
+        t0 = jnp.array([0, 0])
+        out = sched.add_noise(x0, noise, t0)
+        np.testing.assert_allclose(
+            np.asarray(out), np.sqrt(np.asarray(sched.alphas_cumprod)[0]), rtol=1e-5
+        )
+
+    def test_pred_x0_inverts_add_noise_epsilon(self, sched):
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.uniform(rng, (2, 8, 8, 1))
+        noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        t = jnp.array([50, 10])
+        xt = sched.add_noise(x0, noise, t)
+        rec = sched.pred_x0(noise, xt, t)  # model predicting true eps
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-4)
+
+    def test_v_prediction_roundtrip(self):
+        s = NoiseSchedule.create(num_train_timesteps=100, prediction_type="v_prediction")
+        x0 = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 1))
+        noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        t = jnp.array([30, 70])
+        xt = s.add_noise(x0, noise, t)
+        v = s.velocity(x0, noise, t)
+        rec = s.pred_x0(v, xt, t)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-4)
+
+    def test_step_at_t0_is_deterministic(self, sched):
+        xt = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1))
+        eps = jnp.zeros_like(xt)
+        big_noise = 100.0 * jnp.ones_like(xt)
+        t = jnp.array([0])
+        out1 = sched.step(eps, t, xt, big_noise)
+        out2 = sched.step(eps, t, xt, jnp.zeros_like(xt))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_cosine_schedule_valid(self):
+        s = NoiseSchedule.create(num_train_timesteps=50, schedule="cosine")
+        betas = np.asarray(s.betas)
+        assert np.all(betas > 0) and np.all(betas < 1)
+
+
+class TestSamplers:
+    def _perfect_model(self, sched, x_target):
+        """Model that predicts the exact epsilon for a known x0."""
+
+        def model_fn(x_t, t):
+            a = sched.sqrt_alphas_cumprod[t].reshape(-1, *([1] * (x_t.ndim - 1)))
+            s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(
+                -1, *([1] * (x_t.ndim - 1))
+            )
+            return (x_t - a * x_target) / s
+
+        return model_fn
+
+    def test_ddpm_sampler_converges_to_target(self):
+        sched = NoiseSchedule.create(num_train_timesteps=50)
+        target = 0.5 * jnp.ones((1, 8, 8, 1))
+        model_fn = self._perfect_model(sched, target)
+        out = jax.jit(
+            lambda rng: ddpm_sample(sched, model_fn, (1, 8, 8, 1), rng)
+        )(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=0.15)
+
+    def test_ddim_sampler_converges_deterministically(self):
+        sched = NoiseSchedule.create(num_train_timesteps=100)
+        target = 0.3 * jnp.ones((1, 8, 8, 1))
+        model_fn = self._perfect_model(sched, target)
+        f = jax.jit(
+            lambda rng: ddim_sample(sched, model_fn, (1, 8, 8, 1), rng, num_inference_steps=10)
+        )
+        out = f(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=0.05)
+        # eta=0 DDIM with the same rng is fully deterministic
+        out2 = f(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+    def test_seed_reproducibility(self):
+        sched = NoiseSchedule.create(num_train_timesteps=20)
+        model_fn = lambda x, t: jnp.zeros_like(x)
+        f = jax.jit(lambda rng: ddpm_sample(sched, model_fn, (1, 4, 4, 1), rng))
+        a = f(jax.random.PRNGKey(42))
+        b = f(jax.random.PRNGKey(42))
+        c = f(jax.random.PRNGKey(43))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
