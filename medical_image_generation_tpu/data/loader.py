@@ -1,0 +1,237 @@
+"""Host-side streaming patch pipeline feeding the TPU.
+
+Replaces the reference's torch DataLoader + worker processes
+(data_processing.py:115-145, 274-643) with a TPU-appropriate design:
+
+* fixed steps-per-epoch batch scheduling (250 train / 50 val) with
+  without-replacement resampling across epochs (CustomBatchSampler semantics,
+  data_processing.py:601-643);
+* lazy VolStore bbox reads (native zstd chunk decode) so only the patch's
+  chunks are touched;
+* a thread-pool prefetcher keeping a queue of ready host batches — threads,
+  not processes, because the heavy work (pread + zstd decode + scatter)
+  happens in the C++ codec with the GIL released;
+* spatial/intensity augmentation is NOT done here — it runs inside the jitted
+  train step on device (data/augment.py), keeping host CPU free for IO.
+
+Batches are channels-last float32: (B, *patch, C); 2D batches squeeze the
+pseudo-3D z axis (reference data_processing.py:297-300, 590).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from medical_image_generation_tpu.data.patches import (
+    crop_and_pad,
+    get_bbox,
+    oversample_last_fraction,
+)
+from medical_image_generation_tpu.data.splits import (
+    create_split_files,
+    get_data_ids,
+    resolve_preprocessed_path,
+)
+from medical_image_generation_tpu.io.volstore import VolStore
+from medical_image_generation_tpu.planning.preprocess import load_properties
+
+TRAIN_STEPS_PER_EPOCH = 250  # reference data_processing.py:140
+VAL_STEPS_PER_EPOCH = 50  # reference data_processing.py:141
+
+
+class PatchDataset:
+    """Random patch extraction from preprocessed VolStore volumes."""
+
+    def __init__(
+        self,
+        data_path: str,
+        data_ids: Sequence[str],
+        batch_size: int,
+        patch_size: Sequence[int],
+        section: str = "training",
+        oversample_ratio: float = 0.33,
+        channel_ids: Optional[Sequence[int]] = None,
+    ):
+        assert section in ("training", "validation")
+        self.data_path = data_path
+        self.ids = list(data_ids)
+        self.batch_size = batch_size
+        self.section = section
+        self.oversample_ratio = oversample_ratio
+        self.channel_ids = list(channel_ids) if channel_ids is not None else None
+
+        # 2D patches ride as pseudo-3D with z=1 (reference :297-300)
+        self.is_2d = len(patch_size) == 2
+        self.patch_size = (1, *patch_size) if self.is_2d else tuple(patch_size)
+
+        self._stores: Dict[str, VolStore] = {}
+        self._props: Dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _get(self, name: str) -> Tuple[VolStore, dict]:
+        with self._lock:
+            if name not in self._stores:
+                self._stores[name] = VolStore(os.path.join(self.data_path, name + ".vs"))
+                self._props[name] = load_properties(self.data_path, name)
+            return self._stores[name], self._props[name]
+
+    def sample_patch(self, batch_pos: int, sample_idx: int, rng: np.random.Generator) -> np.ndarray:
+        name = self.ids[sample_idx]
+        store, props = self._get(name)
+
+        force_fg = (
+            oversample_last_fraction(batch_pos, self.batch_size, self.oversample_ratio)
+            if self.section == "training"
+            else False
+        )
+        shape = store.shape[1:]  # drop channel axis
+        lbs, ubs = get_bbox(
+            shape, self.patch_size, force_fg, props.get("class_locations"), rng,
+            is_2d=self.is_2d,
+        )
+        full_lbs = [0] + lbs
+        full_ubs = [store.shape[0]] + ubs
+        patch = crop_and_pad(store, full_lbs, full_ubs)  # (C, z, y, x)
+
+        if self.channel_ids is not None:
+            patch = patch[self.channel_ids]
+        if self.is_2d:
+            patch = patch[:, 0]  # (C, y, x)
+        # channels-last for TPU convs
+        patch = np.moveaxis(patch, 0, -1).astype(np.float32)
+        return np.clip(patch, 0.0, 1.0)
+
+
+class BatchScheduler:
+    """Fixed-steps-per-epoch index scheduler with without-replacement pools
+    (reference CustomBatchSampler, data_processing.py:601-643)."""
+
+    def __init__(self, n_samples: int, batch_size: int, number_of_steps: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.n = n_samples
+        self.batch_size = batch_size
+        self.number_of_steps = number_of_steps
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self._pool: List[int] = []
+
+    def _refill(self):
+        pool = list(range(self.n))
+        if self.shuffle:
+            self._rng.shuffle(pool)
+        self._pool.extend(pool)
+
+    def epoch_batches(self) -> List[List[int]]:
+        batches = []
+        for _ in range(self.number_of_steps):
+            while len(self._pool) < self.batch_size:
+                self._refill()
+            batches.append(self._pool[: self.batch_size])
+            self._pool = self._pool[self.batch_size:]
+        return batches
+
+
+class PrefetchLoader:
+    """Iterable over epochs of ready host batches with threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset: PatchDataset,
+        number_of_steps: int,
+        shuffle: bool = True,
+        num_threads: int = 8,
+        prefetch_depth: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.number_of_steps = number_of_steps
+        self.scheduler = BatchScheduler(
+            len(dataset), dataset.batch_size, number_of_steps, shuffle, seed
+        )
+        self.num_threads = max(1, num_threads)
+        self.prefetch_depth = prefetch_depth
+        self._seed_counter = seed
+        self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
+
+    def __len__(self) -> int:
+        return self.number_of_steps
+
+    def _build_batch(self, sample_indices: List[int], base_seed: int) -> np.ndarray:
+        def one(args):
+            pos, idx = args
+            rng = np.random.default_rng((base_seed, pos, idx))
+            return self.dataset.sample_patch(pos, idx, rng)
+
+        patches = list(self._pool.map(one, enumerate(sample_indices)))
+        return np.stack(patches, axis=0)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        batches = self.scheduler.epoch_batches()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        sentinel = object()
+
+        def producer():
+            for i, b in enumerate(batches):
+                self._seed_counter += 1
+                q.put(self._build_batch(b, self._seed_counter))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def get_data_loaders(
+    config: dict,
+    dataset_id: str,
+    splitting: str,
+    batch_size: int,
+    model_type: str,
+    transformations: dict,
+    fold: Optional[int] = None,
+    preprocessed_root: Optional[str] = None,
+    num_threads: Optional[int] = None,
+) -> Tuple[PrefetchLoader, PrefetchLoader]:
+    """Train/val loaders over a preprocessed dataset (reference
+    data_processing.py:115-145)."""
+    split_path = create_split_files(dataset_id, splitting, preprocessed_root=preprocessed_root)
+    ids = get_data_ids(split_path, fold)
+    ds_path = resolve_preprocessed_path(dataset_id, preprocessed_root)
+    images_path = os.path.join(ds_path, "imagesTr")
+
+    patch_size = list(transformations["patch_size"])
+    if model_type == "2d" and len(patch_size) == 3:
+        patch_size = patch_size[-2:]
+
+    common = dict(
+        data_path=images_path,
+        batch_size=batch_size,
+        patch_size=patch_size,
+        oversample_ratio=config.get("oversample_ratio", 0.33),
+        channel_ids=config.get("input_channels"),
+    )
+    train_ds = PatchDataset(data_ids=ids["train"], section="training", **common)
+    val_ds = PatchDataset(data_ids=ids["val"], section="validation", **common)
+
+    threads = num_threads if num_threads is not None else config.get("num_workers", 8)
+    train_loader = PrefetchLoader(
+        train_ds, TRAIN_STEPS_PER_EPOCH, shuffle=True, num_threads=threads, seed=1
+    )
+    val_loader = PrefetchLoader(
+        val_ds, VAL_STEPS_PER_EPOCH, shuffle=False, num_threads=threads, seed=2
+    )
+    return train_loader, val_loader
