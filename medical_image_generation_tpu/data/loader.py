@@ -205,6 +205,8 @@ def get_data_loaders(
     fold: Optional[int] = None,
     preprocessed_root: Optional[str] = None,
     num_threads: Optional[int] = None,
+    train_steps: int = TRAIN_STEPS_PER_EPOCH,
+    val_steps: int = VAL_STEPS_PER_EPOCH,
 ) -> Tuple[PrefetchLoader, PrefetchLoader]:
     """Train/val loaders over a preprocessed dataset (reference
     data_processing.py:115-145)."""
@@ -229,9 +231,9 @@ def get_data_loaders(
 
     threads = num_threads if num_threads is not None else config.get("num_workers", 8)
     train_loader = PrefetchLoader(
-        train_ds, TRAIN_STEPS_PER_EPOCH, shuffle=True, num_threads=threads, seed=1
+        train_ds, train_steps, shuffle=True, num_threads=threads, seed=1
     )
     val_loader = PrefetchLoader(
-        val_ds, VAL_STEPS_PER_EPOCH, shuffle=False, num_threads=threads, seed=2
+        val_ds, val_steps, shuffle=False, num_threads=threads, seed=2
     )
     return train_loader, val_loader

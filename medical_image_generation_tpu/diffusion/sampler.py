@@ -59,7 +59,7 @@ def ddim_sample(
 ) -> jax.Array:
     """DDIM sampling with a strided timestep ladder (fast path)."""
     T = schedule.num_train_timesteps
-    step = T // num_inference_steps
+    step = max(1, T // num_inference_steps)
     ts = jnp.arange(T - 1, -1, -step, dtype=jnp.int32)
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
 

@@ -1,0 +1,127 @@
+"""Feature extractors for FID evaluation.
+
+The reference downloads RadImageNet-ResNet50 (2D) / MedicalNet-ResNet50 (3D)
+from torch.hub at eval time (train_ldm.py:271-273) — impossible in this
+zero-egress image. Capability-preserving design:
+
+* a Flax ResNet50-topology extractor (2D or 3D) with deterministic random
+  initialization — FID over fixed random projections/features is a valid
+  *relative* metric (comparable across checkpoints of the same run);
+* when converted pretrained weights are provided via
+  ``MEDIMGEN_FID_WEIGHTS_{2D,3D}`` (.npz of parameter arrays keyed by the
+  flax path), they are loaded and the metric matches the reference protocol
+  (RadImageNet/MedicalNet features, including their preprocessing:
+  BGR + mean subtraction 2D, intensity normalization 3D —
+  train_ldm.py:242-263).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from medical_image_generation_tpu.models.blocks import ConvND
+
+
+class _Bottleneck(nn.Module):
+    features: int
+    stride: int = 1
+    spatial_dims: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        sd = self.spatial_dims
+        residual = x
+        h = ConvND(self.features, 1, 1, 0, sd, dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=None, group_size=1, dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        ).astype(self.dtype)
+        h = nn.relu(h)
+        h = ConvND(self.features, 3, self.stride, 1, sd, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=None, group_size=1, dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        ).astype(self.dtype)
+        h = nn.relu(h)
+        h = ConvND(self.features * 4, 1, 1, 0, sd, dtype=self.dtype)(h)
+        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+            residual = ConvND(self.features * 4, 1, self.stride, 0, sd, dtype=self.dtype)(x)
+        return nn.relu(h + residual)
+
+
+class ResNet50Features(nn.Module):
+    """ResNet50-topology global-pooled features (2048-d)."""
+
+    spatial_dims: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        sd = self.spatial_dims
+        h = ConvND(64, 7, 2, 3, sd, dtype=self.dtype)(x.astype(self.dtype))
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3,) * sd, strides=(2,) * sd, padding=((1, 1),) * sd)
+        for features, blocks, stride in ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)):
+            for i in range(blocks):
+                h = _Bottleneck(
+                    features, stride if i == 0 else 1, sd, self.dtype
+                )(h)
+        return jnp.mean(h, axis=tuple(range(1, h.ndim - 1))).astype(jnp.float32)
+
+
+class FeatureExtractor:
+    """Frozen feature extractor with optional pretrained weights."""
+
+    def __init__(self, spatial_dims: int = 2, seed: int = 0, dtype=jnp.bfloat16):
+        self.spatial_dims = spatial_dims
+        self.module = ResNet50Features(spatial_dims=spatial_dims, dtype=dtype)
+        dummy_shape = (1,) + (32,) * spatial_dims + (3 if spatial_dims == 2 else 1,)
+        self.params = self.module.init(jax.random.PRNGKey(seed), jnp.zeros(dummy_shape))
+        self.pretrained = False
+
+        env = f"MEDIMGEN_FID_WEIGHTS_{spatial_dims}D"
+        path = os.environ.get(env)
+        if path and os.path.exists(path):
+            self._load_npz(path)
+            self.pretrained = True
+
+        self._apply = jax.jit(lambda p, x: self.module.apply(p, x))
+
+    def _load_npz(self, path: str):
+        import flax.traverse_util as tu
+
+        data = np.load(path)
+        flat = tu.flatten_dict(self.params, sep="/")
+        for key in flat:
+            if key in data:
+                flat[key] = jnp.asarray(data[key])
+        self.params = tu.unflatten_dict(flat, sep="/")
+
+    def preprocess_2d(self, images: jax.Array) -> jax.Array:
+        """RadImageNet-style: grayscale -> 3ch, BGR order, mean subtraction
+        (reference train_ldm.py:242-255)."""
+        if images.shape[-1] == 1:
+            images = jnp.repeat(images, 3, axis=-1)
+        images = images[..., ::-1]  # RGB -> BGR
+        mean = jnp.asarray([0.406, 0.456, 0.485])
+        return images - mean
+
+    def preprocess_3d(self, images: jax.Array) -> jax.Array:
+        """MedicalNet-style per-volume z-score (train_ldm.py:257-263)."""
+        axes = tuple(range(1, images.ndim))
+        mean = jnp.mean(images, axis=axes, keepdims=True)
+        std = jnp.std(images, axis=axes, keepdims=True) + 1e-7
+        return (images - mean) / std
+
+    def __call__(self, images) -> np.ndarray:
+        images = jnp.asarray(images)
+        if self.spatial_dims == 2:
+            images = self.preprocess_2d(images)
+        else:
+            images = self.preprocess_3d(images)
+        return np.asarray(self._apply(self.params, images))

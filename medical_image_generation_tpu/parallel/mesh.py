@@ -1,0 +1,71 @@
+"""Device mesh and sharding layout for SPMD training.
+
+The reference is strictly single-GPU (SURVEY.md §2.25-26: no DP/TP/PP/SP/EP,
+no distributed backend; one ``torch.device('cuda')`` per trainer). This
+module introduces the parallelism layer the TPU build is designed around:
+
+* a ``Mesh`` over all local devices with a ``data`` axis (batch sharding /
+  gradient psum ride ICI) and an optional ``model`` axis reserved for tensor
+  sharding of the UNet mid-block as models grow;
+* ``NamedSharding`` helpers so the jitted train steps place the batch on
+  ``('data',)`` and keep parameters/optimizer state replicated — XLA then
+  inserts the all-reduces, no hand-written collectives in the hot path;
+* train steps are plain ``jax.jit`` with in/out shardings, so the same code
+  runs single-chip (mesh of 1) or multi-chip unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh over the available devices: ('data', 'model').
+
+    model_parallel=1 keeps everything data-parallel (the default, and the
+    right layout for the planner's model sizes); the 'model' axis exists so
+    trainers can annotate tensor-sharded params without restructuring.
+    """
+    devs = list(devices) if devices is not None else list(jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded along axis 0."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def pad_batch_to_devices(batch: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Round the batch up to a multiple of the data-axis size by repeating
+    the last samples (keeps shapes static for jit on any mesh)."""
+    n_data = mesh.shape["data"]
+    b = batch.shape[0]
+    if b % n_data == 0:
+        return batch
+    pad = n_data - (b % n_data)
+    reps = -(-pad // b)  # tile if the batch is smaller than the pad
+    filler = np.concatenate([batch] * reps, axis=0)[:pad]
+    return np.concatenate([batch, filler], axis=0)

@@ -1,0 +1,96 @@
+"""Shared training machinery: optimizers, LR schedules, train state.
+
+TPU replacements for the reference's torch training plumbing:
+* optax adam/adamw + global-norm clipping + ``optax.MultiSteps`` gradient
+  accumulation instead of manual loops + GradScaler (train_autoencoder.py:
+  426-435, train_ldm.py:171-180). bf16 on TPU needs no loss scaling.
+* LR schedules matching the torch names the reference accepts
+  (train_autoencoder.py:469-486: LinearLR / PolynomialLR / none), stepped
+  per epoch like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState; params fp32, compute dtype handled by the modules."""
+
+
+def make_lr_schedule(
+    base_lr: float,
+    scheduler: Optional[str],
+    params: Optional[Dict],
+    steps_per_epoch: int,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Epoch-granular schedules keyed like torch.optim.lr_scheduler names."""
+    params = params or {}
+    if scheduler is None:
+        return lambda step: jnp.asarray(base_lr, jnp.float32)
+    if scheduler == "LinearLR":
+        start = params.get("start_factor", 1.0)
+        end = params.get("end_factor", 0.0)
+        total = params.get("total_iters", 100) * steps_per_epoch
+
+        def fn(step):
+            frac = jnp.clip(step / max(total, 1), 0.0, 1.0)
+            return base_lr * (start + (end - start) * frac)
+
+        return fn
+    if scheduler == "PolynomialLR":
+        total = params.get("total_iters", 100) * steps_per_epoch
+        power = params.get("power", 1.0)
+
+        def fn(step):
+            frac = jnp.clip(step / max(total, 1), 0.0, 1.0)
+            return base_lr * (1.0 - frac) ** power
+
+        return fn
+    raise ValueError(f"unknown lr_scheduler {scheduler!r}")
+
+
+def make_optimizer(
+    learning_rate,
+    grad_clip_max_norm: Optional[float] = 1.0,
+    grad_accumulate_steps: int = 1,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    chain = []
+    if grad_clip_max_norm:
+        chain.append(optax.clip_by_global_norm(grad_clip_max_norm))
+    if weight_decay > 0:
+        chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(learning_rate, b1=b1, b2=b2))
+    tx = optax.chain(*chain)
+    if grad_accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulate_steps)
+    return tx
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def kl_loss(mu, sigma):
+    """KL(q||N(0,1)) summed over latent dims, averaged over batch
+    (reference train_autoencoder.py:67-72)."""
+    var = sigma.astype(jnp.float32) ** 2
+    mu = mu.astype(jnp.float32)
+    per_sample = 0.5 * jnp.sum(
+        mu**2 + var - jnp.log(var + 1e-12) - 1.0,
+        axis=tuple(range(1, mu.ndim)),
+    )
+    return jnp.mean(per_sample)
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)

@@ -1,0 +1,434 @@
+"""Latent diffusion (LDM) training over a frozen stage-1 autoencoder.
+
+Capability match for the reference trainer (train_ldm.py:41-676): loads the
+autoencoder's best checkpoint, probes one batch to fix the latent shape and
+the VAE ``scale_factor = 1/std(z)`` (:110-112) or the VQ codebook min/max
+normalization (:85-96), trains the strided diffusion U-Net with MSE against
+epsilon / v targets, evaluates generative quality (FID + pairwise SSIM /
+MS-SSIM over sampled images, :266-328), renders sample grids / GIFs, and
+keeps last/best checkpoints with resume.
+
+TPU-first: one jitted SPMD train step (frozen AE encode fused in, batch
+sharded over the mesh), and sampling as a single compiled lax.scan
+trajectory + decode — no per-step host dispatch (reference loops 1000 UNet
+calls in Python).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+from itertools import combinations
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_generation_tpu.config.run import (
+    create_save_path_dict,
+    get_config_for_current_task,
+    print_configuration,
+)
+from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
+from medical_image_generation_tpu.data.loader import get_data_loaders
+from medical_image_generation_tpu.diffusion.sampler import ddim_sample, ddpm_sample
+from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
+from medical_image_generation_tpu.eval.fid import fid_from_features
+from medical_image_generation_tpu.eval.features import FeatureExtractor
+from medical_image_generation_tpu.eval.ssim import ms_ssim, ssim
+from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
+from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
+from medical_image_generation_tpu.models.vqvae import VQVAE
+from medical_image_generation_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    pad_batch_to_devices,
+    replicated_sharding,
+)
+from medical_image_generation_tpu.training import checkpoints as ckpt
+from medical_image_generation_tpu.training import common
+from medical_image_generation_tpu.training import plots
+from medical_image_generation_tpu.training.train_autoencoder import count_params
+
+
+class LDMTrainer:
+    """Stage-2 latent diffusion trainer (reference LDM, train_ldm.py:41)."""
+
+    def __init__(self, config: Dict, latent_space_type: str = "vae", dtype=jnp.bfloat16,
+                 mesh=None, seed: int = 0):
+        self.config = config
+        self.latent_space_type = latent_space_type
+        self.dtype = dtype
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+
+        # frozen stage-1 autoencoder from its best checkpoint
+        if latent_space_type == "vae":
+            self.autoencoder = AutoencoderKL.from_config(config["vae_params"], dtype=dtype)
+            self.spatial_dims = config["vae_params"]["spatial_dims"]
+        else:
+            params = config.get("vqvae_params") or config["vae_params"]
+            self.autoencoder = VQVAE.from_config(params, dtype=dtype)
+            self.spatial_dims = params["spatial_dims"]
+
+        ae_ckpt_path = config["load_autoencoder_path"]
+        print(f"Loading autoencoder checkpoint from {ae_ckpt_path}...")
+        payload = ckpt.load_checkpoint(ae_ckpt_path)
+        self.ae_params = jax.tree_util.tree_map(jnp.asarray, payload["g_params"])
+        print(f"Autoencoder epoch: {payload.get('epoch')}")
+
+        self.unet = DiffusionUNet.from_config(config["ddpm_params"], dtype=dtype)
+        self.schedule = NoiseSchedule.from_config(config["time_scheduler_params"])
+
+        self.n_epochs = int(config.get("n_epochs", 100))
+        self.grad_accum = int(config.get("grad_accumulate_step", 1))
+        self.clip = float(config.get("grad_clip_max_norm", 1.0))
+        self.aug_cfg = AugmentConfig.from_transformations(
+            config.get("ddpm_transformations", {})
+        )
+
+        self.save_dict, self.save_path = create_save_path_dict(config)
+        self.loss_dict: Dict[str, list] = {"rec_loss": [], "val_rec_loss": []}
+        self.start_epoch = 0
+        self.best_val = float("inf")
+        self.scale_factor = 1.0
+        self.latent_shape: Optional[Tuple[int, ...]] = None
+
+        if latent_space_type == "vq":
+            codebook = self.ae_params["quantizer"]["codebook"]
+            self.codebook_min = float(np.min(np.asarray(codebook)))
+            self.codebook_max = float(np.max(np.asarray(codebook)))
+
+    # ----------------------------------------------------------------- latent
+
+    def _encode(self, params, batch, rng):
+        """Stage-2 latent for a batch, pre-scaling."""
+        if self.latent_space_type == "vae":
+            return self.autoencoder.apply(
+                {"params": params}, batch, rng,
+                method=self.autoencoder.encode_stage_2_inputs,
+            )
+        return self.autoencoder.apply(
+            {"params": params}, batch, method=self.autoencoder.encode
+        )
+
+    def _scale(self, z):
+        if self.latent_space_type == "vae":
+            return z * self.scale_factor
+        return 2 * (z - self.codebook_min) / (self.codebook_max - self.codebook_min) - 1
+
+    def _unscale(self, z):
+        if self.latent_space_type == "vae":
+            return z / self.scale_factor
+        return (z + 1) / 2 * (self.codebook_max - self.codebook_min) + self.codebook_min
+
+    def _decode(self, z):
+        return self.autoencoder.apply(
+            {"params": self.ae_params}, self._unscale(z),
+            method=self.autoencoder.decode_stage_2_outputs,
+        )
+
+    def probe_latent(self, train_loader):
+        """Fix latent shape + scale factor from one batch
+        (reference train_ldm.py:98-118)."""
+        batch = jnp.asarray(next(iter(train_loader)))
+        z = self._encode(self.ae_params, batch, jax.random.PRNGKey(0))
+        if self.latent_space_type == "vae":
+            self.scale_factor = float(1.0 / (jnp.std(z) + 1e-8))
+            print(f"Scaling factor set to {self.scale_factor}")
+        self.latent_shape = tuple(z.shape)
+        print(f"Latent shape: {self.latent_shape}")
+
+    # ------------------------------------------------------------ train steps
+
+    def _build_state(self):
+        assert self.latent_shape is not None
+        rng = jax.random.PRNGKey(self.seed)
+        z = jnp.zeros((1,) + self.latent_shape[1:], jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        variables = self.unet.init(rng, z, t)
+        steps = 250
+        sched = common.make_lr_schedule(
+            float(self.config.get("ddpm_learning_rate", 2e-5)),
+            self.config.get("lr_scheduler"),
+            self.config.get("lr_scheduler_params"),
+            steps,
+        )
+        tx = common.make_optimizer(
+            sched, self.clip, self.grad_accum, weight_decay=1e-2  # AdamW (reference :121)
+        )
+        state = common.TrainState.create(
+            apply_fn=self.unet.apply, params=variables["params"], tx=tx
+        )
+        print(f"Diffusion U-Net parameters: {count_params(state.params):,}")
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _make_train_step(self):
+        T = self.schedule.num_train_timesteps
+
+        def step(state, ae_params, batch, rng):
+            aug_rng, enc_rng, t_rng, n_rng = jax.random.split(rng, 4)
+            batch = augment_batch(batch, aug_rng, self.aug_cfg)
+            z = jax.lax.stop_gradient(self._encode(ae_params, batch, enc_rng))
+            z = self._scale(z).astype(jnp.float32)
+            t = jax.random.randint(t_rng, (z.shape[0],), 0, T)
+            noise = jax.random.normal(n_rng, z.shape, jnp.float32)
+            noisy = self.schedule.add_noise(z, noise, t)
+            target = self.schedule.training_target(z, noise, t)
+
+            def loss_fn(params):
+                pred = self.unet.apply({"params": params}, noisy, t)
+                return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, loss
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_val_step(self):
+        T = self.schedule.num_train_timesteps
+
+        def step(state, ae_params, batch, rng):
+            enc_rng, t_rng, n_rng = jax.random.split(rng, 3)
+            z = self._encode(ae_params, batch, enc_rng)
+            z = self._scale(z).astype(jnp.float32)
+            t = jax.random.randint(t_rng, (z.shape[0],), 0, T)
+            noise = jax.random.normal(n_rng, z.shape, jnp.float32)
+            noisy = self.schedule.add_noise(z, noise, t)
+            target = self.schedule.training_target(z, noise, t)
+            pred = self.unet.apply({"params": state.params}, noisy, t)
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        return jax.jit(step)
+
+    # ---------------------------------------------------------------- sampling
+
+    def sample_images(self, state, n_samples: int, rng, sampler: str = "ddpm",
+                      num_inference_steps: Optional[int] = None) -> np.ndarray:
+        """Generate n_samples images (decoded), one compiled trajectory
+        (reference sample_images, train_ldm.py:332-366; caps :337-339)."""
+        assert self.latent_shape is not None
+        shape = (n_samples,) + self.latent_shape[1:]
+
+        def model_fn(x, t):
+            return self.unet.apply({"params": state.params}, x, t)
+
+        if sampler == "ddim":
+            steps = num_inference_steps or 50
+            z = ddim_sample(self.schedule, model_fn, shape, rng, num_inference_steps=steps)
+        else:
+            z = ddpm_sample(self.schedule, model_fn, shape, rng)
+        images = self._decode(z)
+        return np.asarray(jnp.clip(images, 0.0, 1.0))
+
+    # -------------------------------------------------------------- eval
+
+    def evaluate_generation(self, state, val_loader, n_samples: Optional[int] = None,
+                            rng=None) -> Dict[str, float]:
+        """FID + pairwise SSIM / MS-SSIM (reference validate_main,
+        train_ldm.py:266-328; sample counts :513-514)."""
+        if n_samples is None:
+            n_samples = 100 if self.spatial_dims == 2 else 40
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed + 777)
+
+        cap = 16 if self.spatial_dims == 2 else 2
+        samples = []
+        remaining = n_samples
+        while remaining > 0:
+            take = min(cap, remaining)
+            rng, sub = jax.random.split(rng)
+            samples.append(self.sample_images(state, take, sub, sampler="ddim"))
+            remaining -= take
+        fake = np.concatenate(samples, axis=0)
+
+        real = []
+        for batch in val_loader:
+            real.append(np.asarray(batch))
+            if sum(r.shape[0] for r in real) >= n_samples:
+                break
+        real = np.concatenate(real, axis=0)[:n_samples]
+
+        extractor = FeatureExtractor(spatial_dims=self.spatial_dims)
+        feats_real = extractor(real)
+        feats_fake = extractor(fake)
+        fid = fid_from_features(feats_real, feats_fake)
+
+        # pairwise diversity over a bounded number of pairs
+        pairs = list(combinations(range(min(len(fake), 20)), 2))
+        ssim_vals, ms_vals = [], []
+        for i, j in pairs:
+            a = jnp.asarray(fake[i : i + 1])
+            b = jnp.asarray(fake[j : j + 1])
+            ssim_vals.append(float(ssim(a, b)[0]))
+            ms_vals.append(float(ms_ssim(a, b)[0]))
+        metrics = {
+            "fid": float(fid),
+            "ssim": float(np.mean(ssim_vals)) if ssim_vals else float("nan"),
+            "ms_ssim": float(np.mean(ms_vals)) if ms_vals else float("nan"),
+        }
+        print(
+            f"FID: {metrics['fid']:.3f} | pairwise SSIM: {metrics['ssim']:.4f} | "
+            f"pairwise MS-SSIM: {metrics['ms_ssim']:.4f}"
+        )
+        return metrics
+
+    # -------------------------------------------------------------- main loop
+
+    def train(self, train_loader, val_loader) -> None:
+        self.probe_latent(train_loader)
+        state = self._build_state()
+        train_step = self._make_train_step()
+        val_step = self._make_val_step()
+        bsh = batch_sharding(self.mesh)
+        ae_params = self.ae_params
+
+        if self.config.get("load_model_path"):
+            state = self._restore(state)
+
+        base_rng = jax.random.PRNGKey(self.seed + 4321)
+        step_counter = 0
+        interval = int(self.config.get("val_plot_interval", 10))
+
+        for epoch in range(self.start_epoch, self.n_epochs):
+            t0 = time.time()
+            losses = []
+            for batch in train_loader:
+                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                rng = jax.random.fold_in(base_rng, step_counter)
+                state, loss = train_step(state, ae_params, batch, rng)
+                losses.append(loss)
+                step_counter += 1
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+
+            val_losses = []
+            for i, batch in enumerate(val_loader):
+                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                rng = jax.random.fold_in(base_rng, 10_000_000 + epoch * 1000 + i)
+                val_losses.append(float(val_step(state, ae_params, batch, rng)))
+            val_loss = float(np.mean(val_losses))
+
+            self.loss_dict["rec_loss"].append(train_loss)
+            self.loss_dict["val_rec_loss"].append(val_loss)
+            print(
+                f"Epoch {epoch + 1}/{self.n_epochs} | loss {train_loss:.4f} | "
+                f"val {val_loss:.4f} | {time.time() - t0:.1f}s"
+            )
+
+            self._save_epoch_artifacts(epoch, state, val_loss)
+
+            if (epoch + 1) % interval == 0:
+                n = 16 if self.spatial_dims == 2 else 2
+                rng = jax.random.fold_in(base_rng, 20_000_000 + epoch)
+                images = self.sample_images(state, n, rng, sampler="ddim")
+                if self.spatial_dims == 2:
+                    plots.save_image_grid_2d(
+                        list(images),
+                        os.path.join(self.save_dict["plots"], f"epoch_{epoch + 1}.png"),
+                    )
+                else:
+                    plots.save_volume_gif(
+                        images[0],
+                        os.path.join(self.save_dict["plots"], f"epoch_{epoch + 1}.gif"),
+                        recon=images[1] if len(images) > 1 else None,
+                    )
+                if self.config.get("run_generation_eval", self.spatial_dims == 2):
+                    self.evaluate_generation(state, val_loader)
+
+    def _save_epoch_artifacts(self, epoch, state, val_loss):
+        plots.save_main_losses(
+            self.loss_dict["rec_loss"], self.loss_dict["val_rec_loss"],
+            os.path.join(self.save_dict["plots"], "loss.png"), title="Diffusion MSE",
+        )
+        ckpt.save_loss_dict(self.save_path, self.loss_dict)
+        payload = {
+            "epoch": epoch,
+            "params": ckpt.to_host(state.params),
+            "opt_state": ckpt.to_host(state.opt_state),
+            "step": int(state.step),
+            "validation_loss": val_loss,
+            "scale_factor": self.scale_factor,
+            "latent_shape": list(self.latent_shape),
+        }
+        ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            ckpt.save_checkpoint(self.save_dict["checkpoints"], "best_model", payload)
+
+    def _restore(self, state):
+        path = self.config["load_model_path"]
+        if not os.path.exists(path):
+            print(f"No checkpoint at {path}; training from scratch")
+            return state
+        target = {
+            "epoch": 0,
+            "params": ckpt.to_host(state.params),
+            "opt_state": ckpt.to_host(state.opt_state),
+            "step": 0,
+            "validation_loss": 0.0,
+            "scale_factor": 0.0,
+            "latent_shape": list(self.latent_shape),
+        }
+        payload = ckpt.load_checkpoint(path, target=target)
+        state = state.replace(
+            params=payload["params"], opt_state=payload["opt_state"], step=payload["step"]
+        )
+        self.start_epoch = int(payload["epoch"]) + 1
+        self.best_val = float(payload["validation_loss"])
+        self.scale_factor = float(payload["scale_factor"])
+        prior = ckpt.load_loss_dict(self.save_path)
+        if prior:
+            self.loss_dict = prior
+        print(f"Resumed from {path} at epoch {self.start_epoch}")
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description="Train a Latent Diffusion Model.")
+    parser.add_argument("dataset_id", type=str)
+    parser.add_argument("splitting", choices=["train-val-test", "5-fold"])
+    parser.add_argument("model_type", choices=["2d", "3d"])
+    parser.add_argument("-f", "--fold", type=int, choices=range(6), default=None)
+    parser.add_argument("-l", "--latent_space_type", default="vae", choices=["vae", "vq"])
+    parser.add_argument("-p", "--progress_bar", action="store_true")
+    parser.add_argument("-c", "--continue_training", action="store_true")
+    args = parser.parse_args()
+    if args.splitting == "5-fold" and args.fold is None:
+        parser.error("--fold is required when --splitting is '5-fold'")
+    return args
+
+
+def main():
+    args = parse_arguments()
+    config = get_config_for_current_task(
+        args.dataset_id, args.model_type, "ldm",
+        progress_bar=args.progress_bar, continue_training=args.continue_training,
+    )
+    # LDM consumes the AE's best checkpoint (reference train_ldm.py:631-636)
+    results_root = os.getenv("medimgen_results")
+    ae_best = os.path.join(
+        results_root, config["task"], args.model_type, "autoencoder",
+        "checkpoints", "best_model",
+    )
+    if not os.path.exists(ae_best):
+        raise FileNotFoundError(
+            f"Train the autoencoder first: no checkpoint at {ae_best}"
+        )
+    config["load_autoencoder_path"] = ae_best
+    print_configuration(config, config["results_path"], "train", model="ldm")
+    train_loader, val_loader = get_data_loaders(
+        config, args.dataset_id, args.splitting, config["ddpm_batch_size"],
+        args.model_type, config["ddpm_transformations"], args.fold,
+    )
+    trainer = LDMTrainer(config, latent_space_type=args.latent_space_type)
+    trainer.train(train_loader, val_loader)
+
+
+if __name__ == "__main__":
+    main()
