@@ -29,13 +29,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_pallas(q_shape, head_dim: int) -> bool:
+def _use_pallas(q_shape, dtype) -> bool:
     if os.environ.get("MEDIMGEN_DISABLE_PALLAS_ATTN"):
         return False
     if not _on_tpu():
         return False
-    # the kernel wants lane-aligned head dims and enough tokens to tile
-    return head_dim % 128 == 0 or head_dim in (32, 64)
+    from medical_image_generation_tpu.ops.pallas_attention import kernel_supported
+
+    return kernel_supported(q_shape, dtype)
 
 
 def dot_product_attention(
@@ -51,11 +52,11 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if _use_pallas(q.shape, q.shape[-1]):
+    if _use_pallas(q.shape, q.dtype):
         try:
             from medical_image_generation_tpu.ops.pallas_attention import flash_attention
 
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(q, k, v, float(scale))
         except Exception:  # pragma: no cover - fall back on any kernel issue
             pass
     return jax.nn.dot_product_attention(q, k, v, scale=scale)
