@@ -20,8 +20,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Persistent compilation cache: the flagship fwd+bwd program is large and
+# the axon remote compile is slow; cache hits make reruns start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 REF_A100_STEPS_PER_SEC = 1.0  # estimated torch-eager A100 reference (see above)
 TARGET_MULTIPLE = 3.0

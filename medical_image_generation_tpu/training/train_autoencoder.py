@@ -53,6 +53,11 @@ from medical_image_generation_tpu.parallel.mesh import (
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import plots
+from medical_image_generation_tpu.utils.profiling import (
+    StepTimer,
+    maybe_progress,
+    profile_trace,
+)
 
 
 def count_params(params) -> int:
@@ -225,6 +230,10 @@ class AutoEncoderTrainer:
     # ------------------------------------------------------------- main train
 
     def train(self, train_loader, val_loader) -> None:
+        with profile_trace(self.config.get("profile_dir")):
+            self._train_impl(train_loader, val_loader)
+
+    def _train_impl(self, train_loader, val_loader) -> None:
         sample = next(iter(val_loader))
         g_state, d_state = self._build_states(sample)
         val_step = self._make_val_step()
@@ -235,6 +244,8 @@ class AutoEncoderTrainer:
 
         base_rng = jax.random.PRNGKey(self.seed + 1234)
         step_counter = 0
+        show_bar = bool(self.config.get("progress_bar"))
+        timer = StepTimer("ae_train")
 
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.time()
@@ -244,7 +255,11 @@ class AutoEncoderTrainer:
             train_step = self._compiled[adv_on]
 
             epoch_metrics = []
-            for batch in train_loader:
+            timer.start()
+            for batch in maybe_progress(
+                train_loader, show_bar, total=len(train_loader),
+                desc=f"Epoch {epoch + 1}",
+            ):
                 batch = jax.device_put(
                     pad_batch_to_devices(batch, self.mesh), bsh
                 )
@@ -252,6 +267,7 @@ class AutoEncoderTrainer:
                 g_state, d_state, metrics = train_step(g_state, d_state, batch, rng)
                 epoch_metrics.append(metrics)
                 step_counter += 1
+                timer.tick()
 
             means = {
                 k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics]))
@@ -279,7 +295,7 @@ class AutoEncoderTrainer:
                 f"Epoch {epoch + 1}/{self.n_epochs} | rec {means['rec']:.4f} | "
                 f"val_rec {val_rec:.4f} | perc {means['perc']:.4f} | "
                 f"reg {means['reg']:.3e} | adv {means['gen_adv']:.4f} | "
-                f"disc {means['disc']:.4f} | {dt:.1f}s"
+                f"disc {means['disc']:.4f} | {dt:.1f}s | {timer.report()}"
             )
 
             self._save_epoch_artifacts(epoch, g_state, d_state, val_rec, last_pair)

@@ -40,6 +40,11 @@ from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import plots
 from medical_image_generation_tpu.training.train_autoencoder import count_params
+from medical_image_generation_tpu.utils.profiling import (
+    StepTimer,
+    maybe_progress,
+    profile_trace,
+)
 
 
 class DDPMTrainer:
@@ -145,6 +150,10 @@ class DDPMTrainer:
         return np.asarray(jnp.clip(z, 0.0, 1.0))
 
     def train(self, train_loader, val_loader) -> None:
+        with profile_trace(self.config.get("profile_dir")):
+            self._train_impl(train_loader, val_loader)
+
+    def _train_impl(self, train_loader, val_loader) -> None:
         state = self._build_state()
         train_step = self._make_train_step()
         val_step = self._make_val_step()
@@ -157,15 +166,22 @@ class DDPMTrainer:
         step_counter = 0
         interval = int(self.config.get("val_plot_interval", 10))
 
+        show_bar = bool(self.config.get("progress_bar"))
+        timer = StepTimer("ddpm_train")
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
+            timer.start()
+            for batch in maybe_progress(
+                train_loader, show_bar, total=len(train_loader),
+                desc=f"Epoch {epoch + 1}",
+            ):
                 batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
                 rng = jax.random.fold_in(base_rng, step_counter)
                 state, loss = train_step(state, batch, rng)
                 losses.append(loss)
                 step_counter += 1
+                timer.tick()
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
 
             val_losses = []

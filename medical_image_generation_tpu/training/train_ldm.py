@@ -52,6 +52,11 @@ from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import plots
 from medical_image_generation_tpu.training.train_autoencoder import count_params
+from medical_image_generation_tpu.utils.profiling import (
+    StepTimer,
+    maybe_progress,
+    profile_trace,
+)
 
 
 class LDMTrainer:
@@ -279,6 +284,10 @@ class LDMTrainer:
     # -------------------------------------------------------------- main loop
 
     def train(self, train_loader, val_loader) -> None:
+        with profile_trace(self.config.get("profile_dir")):
+            self._train_impl(train_loader, val_loader)
+
+    def _train_impl(self, train_loader, val_loader) -> None:
         self.probe_latent(train_loader)
         state = self._build_state()
         train_step = self._make_train_step()
@@ -293,15 +302,22 @@ class LDMTrainer:
         step_counter = 0
         interval = int(self.config.get("val_plot_interval", 10))
 
+        show_bar = bool(self.config.get("progress_bar"))
+        timer = StepTimer("ldm_train")
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
+            timer.start()
+            for batch in maybe_progress(
+                train_loader, show_bar, total=len(train_loader),
+                desc=f"Epoch {epoch + 1}",
+            ):
                 batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
                 rng = jax.random.fold_in(base_rng, step_counter)
                 state, loss = train_step(state, ae_params, batch, rng)
                 losses.append(loss)
                 step_counter += 1
+                timer.tick()
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
 
             val_losses = []
@@ -315,7 +331,7 @@ class LDMTrainer:
             self.loss_dict["val_rec_loss"].append(val_loss)
             print(
                 f"Epoch {epoch + 1}/{self.n_epochs} | loss {train_loss:.4f} | "
-                f"val {val_loss:.4f} | {time.time() - t0:.1f}s"
+                f"val {val_loss:.4f} | {time.time() - t0:.1f}s | {timer.report()}"
             )
 
             self._save_epoch_artifacts(epoch, state, val_loss)
