@@ -157,7 +157,19 @@ class DiffusionUNet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, class_labels=None):
+    def __call__(
+        self,
+        x,
+        timesteps,
+        context=None,
+        class_labels=None,
+        down_block_additional_residuals=None,
+        mid_block_additional_residual=None,
+    ):
+        """down_block_additional_residuals / mid_block_additional_residual:
+        ControlNet-style injection points (reference
+        diffusion_model_unet_with_strides.py:1953-1954, 1995-2010) — extra
+        residuals added to each collected skip and to the mid-block output."""
         d = self.dtype
         sd = self.spatial_dims
         nrb = self.num_res_blocks
@@ -213,11 +225,19 @@ class DiffusionUNet(nn.Module):
                 )(h)
                 skips.append(h)
 
+        if down_block_additional_residuals is not None:
+            skips = [
+                s + r.astype(d)
+                for s, r in zip(skips, down_block_additional_residuals)
+            ]
+
         # ---- mid (reference :1592-1629)
         ch = self.num_channels[-1]
         h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
         h = attn_for(len(self.num_channels) - 1, h)
         h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+        if mid_block_additional_residual is not None:
+            h = h + mid_block_additional_residual.astype(d)
 
         # ---- up path with skip concat (reference :1987-2010)
         for i, level in enumerate(reversed(range(len(self.num_channels)))):

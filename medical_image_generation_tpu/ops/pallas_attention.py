@@ -7,10 +7,12 @@ leans on xformers' memory-efficient attention for the same role
 (diffusion_model_unet_with_strides.py:120-131).
 
 Kernel design (forward):
-* inputs reshaped to (B*H, S, D); grid = (B*H, S/BLOCK_Q);
-* the full K/V for one (batch, head) stay resident in VMEM (gated: the
-  kernel only engages when 2*S*D*bytes fits the VMEM budget — true for all
-  planner-derived grids), the Q block is streamed by the pipeline;
+* inputs reshaped to (B*H, S, D); grid = (B*H, S/BLOCK_Q); the Q block and
+  output are pipelined through VMEM by pallas_call;
+* K and V stay in HBM (`memory_space=ANY`) and stream through a 2-slot
+  double-buffered VMEM scratch via manual async DMA — VMEM stays bounded
+  regardless of sequence length (holding full K/V resident OOMs scoped vmem
+  at S=4096, D=512 once the pipeline double-buffers it);
 * online softmax over K blocks with float32 (m, l, acc) carries on the MXU:
   one jax.lax.fori_loop, no data-dependent shapes.
 
@@ -31,21 +33,58 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
 BLOCK_K = 256
-VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of ~16 MB/core, leave room for blocks
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    """One Q block vs the full K/V of this (batch*head)."""
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, k_buf, v_buf, sem,
+                  *, scale: float, block_k: int, seq_len: int):
+    """One Q block against K/V streamed from HBM with double buffering.
+
+    q_ref/o_ref: (1, BQ, D) VMEM blocks; k_ref/v_ref: (BH, S, D) in HBM;
+    k_buf/v_buf: (2, BK, D) VMEM scratch; sem: (2, 2) DMA semaphores.
+    """
+    b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
-    S = k_ref.shape[1]
     D = q.shape[-1]
-    num_kb = S // block_k
+    num_kb = seq_len // block_k
+
+    def k_dma(slot, kb):
+        return pltpu.make_async_copy(
+            k_ref.at[b, pl.ds(kb * block_k, block_k), :], k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, kb):
+        return pltpu.make_async_copy(
+            v_ref.at[b, pl.ds(kb * block_k, block_k), :], v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        slot = jax.lax.rem(kb, 2)
+        next_slot = jax.lax.rem(kb + 1, 2)
+
+        @pl.when(kb + 1 < num_kb)
+        def _():
+            k_dma(next_slot, kb + 1).start()
+            v_dma(next_slot, kb + 1).start()
+
+        k_dma(slot, kb).wait()
+        v_dma(slot, kb).wait()
+
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
@@ -66,44 +105,41 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+def _divisor_block(S: int, pref: int) -> int:
+    for b in (pref, 128, 64, 32, 16, 8):
+        if S % b == 0:
+            return b
+    return S
 
 
 def _flash_forward(q3, k3, v3, scale: float):
     """q3/k3/v3: (BH, S, D)."""
     BH, S, D = q3.shape
+    block_k = _divisor_block(S, BLOCK_K)
+    block_q = _divisor_block(S, BLOCK_Q)
 
-    def divisor_block(pref):
-        for b in (pref, 128, 64, 32, 16, 8):
-            if S % b == 0:
-                return b
-        return S
-
-    block_k = divisor_block(BLOCK_K)
-    block_q = divisor_block(BLOCK_Q)
-
-    grid = (BH, S // block_q)
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, seq_len=S
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
+        grid=(BH, S // block_q),
+        in_specs=[
+            pl.BlockSpec(
                 (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, D), q3.dtype),
+            pltpu.VMEM((2, block_k, D), q3.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * S * S * D,
             bytes_accessed=BH * S * D * (3 + 1) * q3.dtype.itemsize,
@@ -114,14 +150,15 @@ def _flash_forward(q3, k3, v3, scale: float):
 
 
 def kernel_supported(shape, dtype) -> bool:
-    """Engage only where the kernel's residency/tiling assumptions hold."""
+    """Engage only where the kernel's tiling assumptions hold."""
     B, S, H, D = shape
-    itemsize = jnp.dtype(dtype).itemsize
     if D % 128 != 0:
         return False
-    if S % 256 != 0 and S % 128 != 0:
+    if S % 128 != 0:
         return False
-    if 2 * S * D * itemsize > VMEM_BUDGET_BYTES:
+    # VMEM footprint is bounded by blocks, not S; cap D so the f32
+    # accumulator + two double-buffered K/V slots stay comfortable.
+    if D > 1024:
         return False
     return True
 

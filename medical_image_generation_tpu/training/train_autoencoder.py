@@ -229,6 +229,32 @@ class AutoEncoderTrainer:
 
     # ------------------------------------------------------------- main train
 
+    def adapt_kl_loss_weight(self, g_state, val_loader) -> None:
+        """Auto-set kl_weight from the measured KL magnitude when the config
+        doesn't pin it: kl_weight = 0.001 / 10^floor(log10(mean KL))
+        (reference train_autoencoder.py:295-328)."""
+        import math
+
+        if self.config.get("kl_weight") is not None:
+            return
+        print("Setting KL loss weight from measured KL...")
+        bsh = batch_sharding(self.mesh)
+
+        @jax.jit
+        def kl_of(params, batch, rng):
+            _, mu, sigma = self.model.apply({"params": params}, batch, rng)
+            return common.kl_loss(mu, sigma)
+
+        total, n = 0.0, 0
+        for i, batch in enumerate(val_loader):
+            batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+            total += float(kl_of(g_state.params, batch, jax.random.PRNGKey(i)))
+            n += 1
+        mean_kl = total / max(n, 1)
+        exponent = math.floor(math.log10(abs(mean_kl))) if mean_kl > 0 else 0
+        self.kl_weight = 0.001 / (10**exponent)
+        print(f"KL loss weight set to: {self.kl_weight}")
+
     def train(self, train_loader, val_loader) -> None:
         with profile_trace(self.config.get("profile_dir")):
             self._train_impl(train_loader, val_loader)
