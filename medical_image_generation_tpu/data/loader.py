@@ -57,7 +57,12 @@ class PatchDataset:
         section: str = "training",
         oversample_ratio: float = 0.33,
         channel_ids: Optional[Sequence[int]] = None,
+        include_labels: bool = False,
+        n_classes: int = 1,
     ):
+        """include_labels: stack the segmentation (scaled to [0,1] by
+        n_classes) as an extra trailing channel — enables joint image+label
+        synthesis (BASELINE.json config #5)."""
         assert section in ("training", "validation")
         self.data_path = data_path
         self.ids = list(data_ids)
@@ -65,12 +70,15 @@ class PatchDataset:
         self.section = section
         self.oversample_ratio = oversample_ratio
         self.channel_ids = list(channel_ids) if channel_ids is not None else None
+        self.include_labels = include_labels
+        self.n_classes = max(1, int(n_classes))
 
         # 2D patches ride as pseudo-3D with z=1 (reference :297-300)
         self.is_2d = len(patch_size) == 2
         self.patch_size = (1, *patch_size) if self.is_2d else tuple(patch_size)
 
         self._stores: Dict[str, VolStore] = {}
+        self._label_stores: Dict[str, VolStore] = {}
         self._props: Dict[str, dict] = {}
         self._lock = threading.Lock()
 
@@ -83,6 +91,17 @@ class PatchDataset:
                 self._stores[name] = VolStore(os.path.join(self.data_path, name + ".vs"))
                 self._props[name] = load_properties(self.data_path, name)
             return self._stores[name], self._props[name]
+
+    def _get_label(self, name: str) -> VolStore:
+        with self._lock:
+            if name not in self._label_stores:
+                labels_path = os.path.join(
+                    os.path.dirname(self.data_path.rstrip("/")), "labelsTr"
+                )
+                self._label_stores[name] = VolStore(
+                    os.path.join(labels_path, name + ".vs")
+                )
+            return self._label_stores[name]
 
     def sample_patch(self, batch_pos: int, sample_idx: int, rng: np.random.Generator) -> np.ndarray:
         name = self.ids[sample_idx]
@@ -104,6 +123,13 @@ class PatchDataset:
 
         if self.channel_ids is not None:
             patch = patch[self.channel_ids]
+
+        if self.include_labels:
+            label_store = self._get_label(name)
+            label_patch = crop_and_pad(label_store, lbs, ubs)  # (z, y, x)
+            label_patch = (label_patch.astype(np.float32) / self.n_classes)[None]
+            patch = np.concatenate([patch, label_patch], axis=0)
+
         if self.is_2d:
             patch = patch[:, 0]  # (C, y, x)
         # channels-last for TPU convs
@@ -225,6 +251,8 @@ def get_data_loaders(
         patch_size=patch_size,
         oversample_ratio=config.get("oversample_ratio", 0.33),
         channel_ids=config.get("input_channels"),
+        include_labels=bool(config.get("include_labels", False)),
+        n_classes=int(config.get("n_classes", 1)),
     )
     train_ds = PatchDataset(data_ids=ids["train"], section="training", **common)
     val_ds = PatchDataset(data_ids=ids["val"], section="validation", **common)

@@ -129,7 +129,7 @@ class DiffusionUNet(nn.Module):
     cross_attention_dim: Optional[int] = None
     transformer_num_layers: int = 1
     num_class_embeds: Optional[int] = None
-    use_checkpointing: bool = True
+    use_checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -152,7 +152,7 @@ class DiffusionUNet(nn.Module):
             cross_attention_dim=params.get("cross_attention_dim"),
             transformer_num_layers=params.get("transformer_num_layers", 1),
             num_class_embeds=params.get("num_class_embeds"),
-            use_checkpointing=params.get("use_checkpointing", True),
+            use_checkpointing=params.get("use_checkpointing", False),
             dtype=dtype,
         )
 

@@ -130,7 +130,10 @@ def create_autoencoder_dict(
         "with_encoder_nonlocal_attn": False,
         "with_decoder_nonlocal_attn": False,
         "use_flash_attention": True,
-        "use_checkpointing": True,
+        # measured on v5e: remat costs ~7% steps/s and the planner-derived
+        # models fit comfortably without it; memory.py re-enables it when the
+        # AOT analysis says a config is tight
+        "use_checkpointing": False,
         "use_convtranspose": False,
         "num_channels": base_channels[: n_layers + 1],
         "attention_levels": [False] * (n_layers + 1),

@@ -203,3 +203,24 @@ class TestAugment:
                 changed = True
                 break
         assert changed
+
+
+class TestJointImageLabel:
+    def test_include_labels_adds_channel(self, preprocessed_dataset):
+        root, dsid = preprocessed_dataset
+        ds_dir = os.path.join(root, "Task099_Synth")
+        images = os.path.join(ds_dir, "imagesTr")
+        labels = os.path.join(ds_dir, "labelsTr")
+        os.makedirs(labels, exist_ok=True)
+        rng = np.random.default_rng(1)
+        for i in range(6):
+            pid = f"p{i:03d}"
+            lbl = rng.integers(0, 3, size=(12, 24, 24)).astype(np.uint8)
+            write_volume(os.path.join(labels, f"{pid}.vs"), lbl,
+                         chunk_shape=(1, 24, 24))
+        ds = PatchDataset(images, ["p000"], batch_size=2, patch_size=(4, 16, 16),
+                          include_labels=True, n_classes=2)
+        patch = ds.sample_patch(0, 0, np.random.default_rng(0))
+        assert patch.shape == (4, 16, 16, 2)  # image + label channel
+        label_chan = patch[..., 1]
+        assert set(np.round(np.unique(label_chan) * 2).astype(int)).issubset({0, 1, 2})
