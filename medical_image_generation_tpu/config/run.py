@@ -131,6 +131,31 @@ def filter_config_by_mode(config: dict, args_mode: str) -> dict:
     return config
 
 
+def apply_overrides(config: dict, overrides) -> dict:
+    """Apply ``--set dotted.key=value`` CLI overrides onto the generated
+    config — the capability of the reference's per-field CLI override layer
+    (configuration.py:224-326, update_config_with_args) in one generic flag.
+
+    Values parse as YAML (so numbers, bools, lists and strings all work);
+    dots traverse nested dicts: ``--set vae_params.num_res_blocks=3``.
+    """
+    if not overrides:
+        return config
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like key=value")
+        key, raw = item.split("=", 1)
+        value = yaml.safe_load(raw)
+        node = config
+        parts = key.split(".")
+        for part in parts[:-1]:
+            if part not in node or not isinstance(node[part], dict):
+                node[part] = {}
+            node = node[part]
+        node[parts[-1]] = value
+    return config
+
+
 def print_configuration(config: dict, save_path: str, mode: str, model: Optional[str] = None,
                         space_from_start: int = 40) -> None:
     """Aligned configuration summary (reference configuration.py:404-453)."""

@@ -85,10 +85,24 @@ class PatchDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def _open_volume(self, directory: str, name: str):
+        """VolStore first, then legacy .npy/.npz fallbacks (the reference's
+        load_image fallback chain, data_processing.py:535-559)."""
+        vs_path = os.path.join(directory, name + ".vs")
+        if os.path.exists(vs_path):
+            return VolStore(vs_path)
+        npy = os.path.join(directory, name + ".npy")
+        if os.path.exists(npy):
+            return np.load(npy, mmap_mode="r")
+        npz = os.path.join(directory, name + ".npz")
+        if os.path.exists(npz):
+            return np.load(npz)["data"]
+        raise FileNotFoundError(f"no volume for {name} under {directory}")
+
     def _get(self, name: str) -> Tuple[VolStore, dict]:
         with self._lock:
             if name not in self._stores:
-                self._stores[name] = VolStore(os.path.join(self.data_path, name + ".vs"))
+                self._stores[name] = self._open_volume(self.data_path, name)
                 self._props[name] = load_properties(self.data_path, name)
             return self._stores[name], self._props[name]
 
@@ -98,9 +112,7 @@ class PatchDataset:
                 labels_path = os.path.join(
                     os.path.dirname(self.data_path.rstrip("/")), "labelsTr"
                 )
-                self._label_stores[name] = VolStore(
-                    os.path.join(labels_path, name + ".vs")
-                )
+                self._label_stores[name] = self._open_volume(labels_path, name)
             return self._label_stores[name]
 
     def sample_patch(self, batch_pos: int, sample_idx: int, rng: np.random.Generator) -> np.ndarray:

@@ -31,6 +31,7 @@ import numpy as np
 import optax
 
 from medical_image_generation_tpu.config.run import (
+    apply_overrides,
     create_save_path_dict,
     get_config_for_current_task,
     print_configuration,
@@ -418,6 +419,11 @@ def parse_arguments():
     parser.add_argument("-l", "--latent_space_type", default="vae", choices=["vae", "vq"])
     parser.add_argument("-p", "--progress_bar", action="store_true")
     parser.add_argument("-c", "--continue_training", action="store_true")
+    parser.add_argument(
+        "--set", dest="overrides", action="append", default=None, metavar="KEY=VALUE",
+        help="Override any config field, e.g. --set n_epochs=50 "
+             "--set vae_params.num_res_blocks=3",
+    )
     args = parser.parse_args()
     if args.splitting == "5-fold" and args.fold is None:
         parser.error("--fold is required when --splitting is '5-fold'")
@@ -432,6 +438,7 @@ def main():
         args.dataset_id, args.model_type, "autoencoder",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
+    config = apply_overrides(config, args.overrides)
     print_configuration(config, config["results_path"], "train", model="autoencoder")
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ae_batch_size"],

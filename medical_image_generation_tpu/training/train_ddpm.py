@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from medical_image_generation_tpu.config.run import (
+    apply_overrides,
     create_save_path_dict,
     get_config_for_current_task,
     print_configuration,
@@ -265,6 +266,11 @@ def parse_arguments():
     parser.add_argument("-f", "--fold", type=int, choices=range(6), default=None)
     parser.add_argument("-p", "--progress_bar", action="store_true")
     parser.add_argument("-c", "--continue_training", action="store_true")
+    parser.add_argument(
+        "--set", dest="overrides", action="append", default=None, metavar="KEY=VALUE",
+        help="Override any config field, e.g. --set n_epochs=50 "
+             "--set vae_params.num_res_blocks=3",
+    )
     args = parser.parse_args()
     if args.splitting == "5-fold" and args.fold is None:
         parser.error("--fold is required when --splitting is '5-fold'")
@@ -277,6 +283,7 @@ def main():
         args.dataset_id, args.model_type, "ddpm",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
+    config = apply_overrides(config, args.overrides)
     print_configuration(config, config["results_path"], "train", model="ddpm")
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ddpm_batch_size"],

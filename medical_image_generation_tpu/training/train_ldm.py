@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from medical_image_generation_tpu.config.run import (
+    apply_overrides,
     create_save_path_dict,
     get_config_for_current_task,
     print_configuration,
@@ -414,6 +415,11 @@ def parse_arguments():
     parser.add_argument("-l", "--latent_space_type", default="vae", choices=["vae", "vq"])
     parser.add_argument("-p", "--progress_bar", action="store_true")
     parser.add_argument("-c", "--continue_training", action="store_true")
+    parser.add_argument(
+        "--set", dest="overrides", action="append", default=None, metavar="KEY=VALUE",
+        help="Override any config field, e.g. --set n_epochs=50 "
+             "--set vae_params.num_res_blocks=3",
+    )
     args = parser.parse_args()
     if args.splitting == "5-fold" and args.fold is None:
         parser.error("--fold is required when --splitting is '5-fold'")
@@ -426,6 +432,7 @@ def main():
         args.dataset_id, args.model_type, "ldm",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
+    config = apply_overrides(config, args.overrides)
     # LDM consumes the AE's best checkpoint (reference train_ldm.py:631-636)
     results_root = os.getenv("medimgen_results")
     ae_best = os.path.join(

@@ -1,0 +1,96 @@
+"""Sampling-throughput benchmark: 3D LDM volumes/min at 128^3 on one chip.
+
+BASELINE.json's second headline metric ("sampled volumes/min"). Runs the
+flagship 441M-parameter U-Net through the compiled lax.scan trajectory and
+the frozen-AE decode, for both the reference protocol (full 1000-step
+ancestral DDPM, train_ldm.py:351) and the DDIM-50 fast path the reference
+never shipped.
+
+Prints one JSON line per sampler variant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_configs
+    from medical_image_generation_tpu.diffusion.sampler import ddim_sample, ddpm_sample
+    from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
+    from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
+    from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
+    from medical_image_generation_tpu.planning.planner import compute_output_size
+
+    vae_cfg, ddpm_cfg = _flagship_configs()
+    ae = AutoencoderKL.from_config(vae_cfg, dtype=jnp.bfloat16)
+    unet = DiffusionUNet.from_config(ddpm_cfg, dtype=jnp.bfloat16)
+    schedule = NoiseSchedule.create()
+    latent = compute_output_size([128, 128, 128], vae_cfg["downsample_parameters"])
+    z_shape = (BATCH, *latent, vae_cfg["latent_channels"])
+
+    rng = jax.random.PRNGKey(0)
+    zeros = lambda shapes: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
+    unet_params = zeros(
+        jax.eval_shape(
+            lambda r: unet.init(r, jnp.zeros((1, *z_shape[1:])), jnp.zeros((1,), jnp.int32)),
+            rng,
+        )
+    )["params"]
+    ae_params = zeros(
+        jax.eval_shape(
+            lambda r: ae.init({"params": r}, jnp.zeros((1, 128, 128, 128, 1)), r), rng
+        )
+    )["params"]
+
+    def model_fn(x, t):
+        return unet.apply({"params": unet_params}, x, t)
+
+    def decode(z):
+        return ae.apply({"params": ae_params}, z, method=ae.decode_stage_2_outputs)
+
+    @jax.jit
+    def sample_ddpm(rng):
+        z = ddpm_sample(schedule, model_fn, z_shape, rng)
+        return decode(z)
+
+    @jax.jit
+    def sample_ddim(rng):
+        z = ddim_sample(schedule, model_fn, z_shape, rng, num_inference_steps=50)
+        return decode(z)
+
+    for name, fn, reps in (("ddim50", sample_ddim, 3), ("ddpm1000", sample_ddpm, 1)):
+        t0 = time.time()
+        out = fn(jax.random.PRNGKey(1))
+        out.block_until_ready()
+        sys.stderr.write(f"{name} warmup (incl. compile): {time.time() - t0:.1f}s\n")
+        t0 = time.time()
+        for i in range(reps):
+            out = fn(jax.random.fold_in(rng, i))
+        out.block_until_ready()
+        per_call = (time.time() - t0) / reps
+        vols_per_min = 60.0 * BATCH / per_call
+        print(json.dumps({
+            "metric": f"3D LDM sampled volumes/min @128^3 ({name}, batch {BATCH}, 441M UNet)",
+            "value": round(vols_per_min, 3),
+            "unit": "volumes/min",
+            "vs_baseline": None,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,3 +154,29 @@ class TestEndToEndPlan:
             os.path.join(ds_path, "imagesTr"), vs_files[0].replace(".vs", "")
         )
         assert "class_locations" in props and "min_max" in props
+
+
+class TestConfigOverrides:
+    def test_apply_overrides(self):
+        from medical_image_generation_tpu.config.run import apply_overrides
+
+        cfg = {"n_epochs": 100, "vae_params": {"num_res_blocks": 2},
+               "ae_transformations": {"mirror": True}}
+        out = apply_overrides(cfg, [
+            "n_epochs=50",
+            "vae_params.num_res_blocks=3",
+            "ae_transformations.mirror=false",
+            "ae_transformations.patch_size=[32, 32]",
+        ])
+        assert out["n_epochs"] == 50
+        assert out["vae_params"]["num_res_blocks"] == 3
+        assert out["ae_transformations"]["mirror"] is False
+        assert out["ae_transformations"]["patch_size"] == [32, 32]
+
+    def test_bad_override_raises(self):
+        import pytest as _pytest
+
+        from medical_image_generation_tpu.config.run import apply_overrides
+
+        with _pytest.raises(ValueError):
+            apply_overrides({}, ["no_equals_sign"])
