@@ -28,9 +28,18 @@ def ddpm_sample(
     shape: Sequence[int],
     rng: jax.Array,
     clip_x0: bool = True,
+    max_steps_per_call: Optional[int] = 250,
 ) -> jax.Array:
     """Full ancestral sampling over all T train timesteps (reference
-    semantics, train_ldm.py:351)."""
+    semantics, train_ldm.py:351).
+
+    The trajectory runs as compiled ``lax.scan`` segments of up to
+    ``max_steps_per_call`` steps: a single 1000-iteration program trips
+    device execution limits on some runtimes, and segmenting costs only a
+    handful of dispatches. The RNG is carried through the scan, so results
+    are bit-identical for any segmentation. Pass None to force one program
+    (e.g. when tracing this whole function under an outer jit).
+    """
     T = schedule.num_train_timesteps
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
@@ -44,8 +53,58 @@ def ddpm_sample(
         x = schedule.step(out, t_batch, x, noise, clip_x0=clip_x0)
         return (x, rng), None
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), jnp.arange(T - 1, -1, -1))
-    return x
+    ts_all = jnp.arange(T - 1, -1, -1)
+    if max_steps_per_call is None or max_steps_per_call >= T:
+        (x, _), _ = jax.lax.scan(body, (x, rng), ts_all)
+        return x
+
+    @jax.jit
+    def run_segment(carry, ts):
+        return jax.lax.scan(body, carry, ts)
+
+    carry = (x, rng)
+    for start in range(0, T, max_steps_per_call):
+        seg = ts_all[start : start + max_steps_per_call]
+        carry, _ = run_segment(carry, seg)
+    return carry[0]
+
+
+class SegmentedDDPMSampler:
+    """Reusable ancestral sampler: one jitted segment program, compiled once,
+    driven over the trajectory by a host loop. ``apply_fn(params, x, t)``
+    keeps params explicit so repeated sampling with updated weights reuses
+    the compilation."""
+
+    def __init__(self, schedule: NoiseSchedule, apply_fn, clip_x0: bool = True,
+                 max_steps_per_call: int = 250):
+        self.schedule = schedule
+        self.max_steps_per_call = max_steps_per_call
+        self.T = schedule.num_train_timesteps
+
+        def body(params, carry, t):
+            x, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            out = apply_fn(params, x, t_batch)
+            noise = jax.random.normal(step_rng, x.shape, dtype=x.dtype)
+            x = schedule.step(out, t_batch, x, noise, clip_x0=clip_x0)
+            return (x, rng), None
+
+        self._run_segment = jax.jit(
+            lambda params, carry, ts: jax.lax.scan(
+                lambda c, t: body(params, c, t), carry, ts
+            )
+        )
+
+    def __call__(self, params, shape: Sequence[int], rng: jax.Array) -> jax.Array:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+        ts_all = jnp.arange(self.T - 1, -1, -1)
+        carry = (x, rng)
+        for start in range(0, self.T, self.max_steps_per_call):
+            seg = ts_all[start : start + self.max_steps_per_call]
+            carry, _ = self._run_segment(params, carry, seg)
+        return carry[0]
 
 
 def ddim_sample(

@@ -28,7 +28,10 @@ from medical_image_generation_tpu.config.run import (
 )
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
 from medical_image_generation_tpu.data.loader import get_data_loaders
-from medical_image_generation_tpu.diffusion.sampler import ddim_sample, ddpm_sample
+from medical_image_generation_tpu.diffusion.sampler import (
+    SegmentedDDPMSampler,
+    ddim_sample,
+)
 from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
 from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
 from medical_image_generation_tpu.parallel.mesh import (
@@ -140,14 +143,19 @@ class DDPMTrainer:
                       num_inference_steps: Optional[int] = None) -> np.ndarray:
         shape = (n_samples,) + self.image_shape
 
-        def model_fn(x, t):
-            return self.unet.apply({"params": state.params}, x, t)
-
         if sampler == "ddim":
+            def model_fn(x, t):
+                return self.unet.apply({"params": state.params}, x, t)
+
             z = ddim_sample(self.schedule, model_fn, shape, rng,
                             num_inference_steps=num_inference_steps or 50)
         else:
-            z = ddpm_sample(self.schedule, model_fn, shape, rng)
+            if not hasattr(self, "_ddpm_sampler"):
+                self._ddpm_sampler = SegmentedDDPMSampler(
+                    self.schedule,
+                    lambda params, x, t: self.unet.apply({"params": params}, x, t),
+                )
+            z = self._ddpm_sampler(state.params, shape, rng)
         return np.asarray(jnp.clip(z, 0.0, 1.0))
 
     def train(self, train_loader, val_loader) -> None:

@@ -35,7 +35,10 @@ from medical_image_generation_tpu.config.run import (
 )
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
 from medical_image_generation_tpu.data.loader import get_data_loaders
-from medical_image_generation_tpu.diffusion.sampler import ddim_sample, ddpm_sample
+from medical_image_generation_tpu.diffusion.sampler import (
+    SegmentedDDPMSampler,
+    ddim_sample,
+)
 from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
 from medical_image_generation_tpu.eval.fid import fid_from_features
 from medical_image_generation_tpu.eval.features import FeatureExtractor
@@ -215,19 +218,24 @@ class LDMTrainer:
 
     def sample_images(self, state, n_samples: int, rng, sampler: str = "ddpm",
                       num_inference_steps: Optional[int] = None) -> np.ndarray:
-        """Generate n_samples images (decoded), one compiled trajectory
+        """Generate n_samples images (decoded) via compiled trajectories
         (reference sample_images, train_ldm.py:332-366; caps :337-339)."""
         assert self.latent_shape is not None
         shape = (n_samples,) + self.latent_shape[1:]
 
-        def model_fn(x, t):
-            return self.unet.apply({"params": state.params}, x, t)
-
         if sampler == "ddim":
+            def model_fn(x, t):
+                return self.unet.apply({"params": state.params}, x, t)
+
             steps = num_inference_steps or 50
             z = ddim_sample(self.schedule, model_fn, shape, rng, num_inference_steps=steps)
         else:
-            z = ddpm_sample(self.schedule, model_fn, shape, rng)
+            if not hasattr(self, "_ddpm_sampler"):
+                self._ddpm_sampler = SegmentedDDPMSampler(
+                    self.schedule,
+                    lambda params, x, t: self.unet.apply({"params": params}, x, t),
+                )
+            z = self._ddpm_sampler(state.params, shape, rng)
         images = self._decode(z)
         return np.asarray(jnp.clip(images, 0.0, 1.0))
 

@@ -28,7 +28,10 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_configs
-    from medical_image_generation_tpu.diffusion.sampler import ddim_sample, ddpm_sample
+    from medical_image_generation_tpu.diffusion.sampler import (
+        SegmentedDDPMSampler,
+        ddim_sample,
+    )
     from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
     from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
     from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
@@ -63,10 +66,16 @@ def main():
     def decode(z):
         return ae.apply({"params": ae_params}, z, method=ae.decode_stage_2_outputs)
 
-    @jax.jit
+    # 1000-iteration single programs trip device execution limits; the
+    # segmented sampler runs compiled 100-step chunks instead.
+    ddpm_sampler = SegmentedDDPMSampler(
+        schedule, lambda p, x, t: unet.apply({"params": p}, x, t),
+        max_steps_per_call=100,
+    )
+    decode_jit = jax.jit(decode)
+
     def sample_ddpm(rng):
-        z = ddpm_sample(schedule, model_fn, z_shape, rng)
-        return decode(z)
+        return decode_jit(ddpm_sampler(unet_params, z_shape, rng))
 
     @jax.jit
     def sample_ddim(rng):

@@ -108,3 +108,34 @@ class TestSamplers:
         c = f(jax.random.PRNGKey(43))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+class TestSegmentedSampler:
+    def test_segmentation_matches_single_program(self):
+        from medical_image_generation_tpu.diffusion.sampler import SegmentedDDPMSampler
+
+        sched = NoiseSchedule.create(num_train_timesteps=40)
+        target = 0.4 * jnp.ones((1, 8, 8, 1))
+
+        def apply_fn(params, x_t, t):
+            a = sched.sqrt_alphas_cumprod[t].reshape(-1, *([1] * (x_t.ndim - 1)))
+            s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(
+                -1, *([1] * (x_t.ndim - 1))
+            )
+            return (x_t - a * target) / s
+
+        model_fn = lambda x, t: apply_fn(None, x, t)
+        single = ddpm_sample(sched, model_fn, (1, 8, 8, 1), jax.random.PRNGKey(5),
+                             max_steps_per_call=None)
+        seg = SegmentedDDPMSampler(sched, apply_fn, max_steps_per_call=7)
+        chunked = seg(None, (1, 8, 8, 1), jax.random.PRNGKey(5))
+        np.testing.assert_allclose(np.asarray(single), np.asarray(chunked), atol=1e-5)
+
+    def test_function_segmentation_matches(self):
+        sched = NoiseSchedule.create(num_train_timesteps=30)
+        model_fn = lambda x, t: jnp.zeros_like(x)
+        a = ddpm_sample(sched, model_fn, (1, 4, 4, 1), jax.random.PRNGKey(1),
+                        max_steps_per_call=None)
+        b = ddpm_sample(sched, model_fn, (1, 4, 4, 1), jax.random.PRNGKey(1),
+                        max_steps_per_call=8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
