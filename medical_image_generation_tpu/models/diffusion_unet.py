@@ -263,3 +263,65 @@ class DiffusionUNet(nn.Module):
             kernel_init=nn.initializers.zeros,
         )(h)
         return h.astype(jnp.float32)
+
+
+class DiffusionEncoder(nn.Module):
+    """Timestep-conditioned classifier over noisy inputs — the encoder half
+    of the diffusion U-Net with a pooled linear head (capability of the
+    reference's DiffusionModelEncoder, diffusion_model_unet_with_strides.py:
+    2024-2152; used for classifier guidance). The hardcoded Linear(4096, ...)
+    of the reference is replaced by global average pooling, so any input
+    size works."""
+
+    spatial_dims: int = 3
+    in_channels: int = 8
+    num_classes: int = 2
+    num_channels: Sequence[int] = (256, 512, 768)
+    attention_levels: Sequence[bool] = (False, True, True)
+    num_head_channels: Sequence[int] = (0, 512, 768)
+    num_res_blocks: Sequence[int] | int = 2
+    norm_num_groups: int = 32
+    strides: Sequence = ((1, 1, 1), (2, 2, 2), (2, 2, 2))
+    kernel_sizes: Sequence = ((3, 3, 3), (3, 3, 3), (3, 3, 3))
+    paddings: Sequence = ((1, 1, 1), (1, 1, 1), (1, 1, 1))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps):
+        d = self.dtype
+        sd = self.spatial_dims
+        nrb = self.num_res_blocks
+        nrb = tuple(nrb) if isinstance(nrb, (list, tuple)) else (nrb,) * len(self.num_channels)
+
+        time_embed_dim = self.num_channels[0] * 4
+        temb = timestep_embedding(timesteps, self.num_channels[0])
+        temb = nn.Dense(time_embed_dim, dtype=jnp.float32, param_dtype=jnp.float32)(temb)
+        temb = nn.Dense(time_embed_dim, dtype=jnp.float32, param_dtype=jnp.float32)(
+            nn.silu(temb)
+        ).astype(d)
+
+        h = ConvND(
+            self.num_channels[0], self.kernel_sizes[0], self.strides[0],
+            self.paddings[0], sd, dtype=d,
+        )(x.astype(d))
+        for level, ch in enumerate(self.num_channels):
+            for _ in range(nrb[level]):
+                h = ResBlock(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+                if self.attention_levels[level]:
+                    heads_ch = self.num_head_channels[level]
+                    h = AttentionBlock(
+                        heads_ch if heads_ch > 0 else -1, self.norm_num_groups, dtype=d
+                    )(h)
+            if level != len(self.num_channels) - 1:
+                h = Downsample(
+                    self.strides[level + 1], self.kernel_sizes[level + 1],
+                    self.paddings[level + 1], sd, dtype=d,
+                )(h)
+
+        h = GroupNorm(self.norm_num_groups, 1e-6, d)(h)
+        h = nn.silu(h)
+        h = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))  # global average pool
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        )
+        return logits

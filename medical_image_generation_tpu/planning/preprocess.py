@@ -168,6 +168,26 @@ def normalize_foreground_percentiles(
     return normalized, min_max
 
 
+def normalize_zscore_then_clip_then_minmax(
+    image: np.ndarray, lower_p: float = 0.5, upper_p: float = 99.5
+) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
+    """z-score -> percentile clip -> min-max (reference
+    configuration.py:1224-1244; alternative normalization)."""
+    normalized = np.zeros_like(image, dtype=np.float32)
+    min_max: List[Tuple[float, float]] = []
+    for c in range(image.shape[0]):
+        chan = image[c]
+        vmin, vmax = float(np.min(chan)), float(np.max(chan))
+        std = float(np.std(chan))
+        z = (chan - np.mean(chan)) / (std if std > 0 else 1.0)
+        z_min = float(np.percentile(z, lower_p))
+        z_max = float(np.percentile(z, upper_p))
+        denom = (z_max - z_min) if z_max > z_min else 1.0
+        normalized[c] = (np.clip(z, z_min, z_max) - z_min) / denom
+        min_max.append((vmin, vmax))
+    return normalized, min_max
+
+
 def to_canonical_axes(volume: np.ndarray) -> np.ndarray:
     """(X, Y, Z[, C]) NIfTI order -> (C, Z, Y, X) training order
     (reference configuration.py:1396-1399)."""

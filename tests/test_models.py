@@ -215,3 +215,39 @@ class TestDiscriminator:
         assert g == pytest.approx(1.0)
         d = least_squares_gan_loss(logits_real=real, logits_fake=fake)
         assert d == pytest.approx(0.0)
+
+
+class TestDiffusionEncoder:
+    def test_classifier_logits(self):
+        from medical_image_generation_tpu.models.diffusion_unet import DiffusionEncoder
+
+        model = DiffusionEncoder(
+            spatial_dims=2, in_channels=1, num_classes=3,
+            num_channels=(8, 16, 16), attention_levels=(False, False, True),
+            num_head_channels=(0, 0, 8), num_res_blocks=1, norm_num_groups=4,
+            strides=((1, 1), (2, 2), (2, 2)),
+            kernel_sizes=((3, 3), (3, 3), (3, 3)),
+            paddings=((1, 1), (1, 1), (1, 1)),
+        )
+        x = jnp.ones((2, 32, 32, 1))
+        t = jnp.array([10, 500])
+        variables = model.init(jax.random.PRNGKey(0), x, t)
+        logits = model.apply(variables, x, t)
+        assert logits.shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestThirdNormalization:
+    def test_zscore_clip_minmax(self):
+        from medical_image_generation_tpu.planning.preprocess import (
+            normalize_zscore_then_clip_then_minmax,
+        )
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(5, 2, size=(1, 4, 16, 16)).astype(np.float32)
+        img[0, 0, 0, 0] = 1000.0  # outlier clipped away
+        out, mm = normalize_zscore_then_clip_then_minmax(img)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert mm[0][1] == pytest.approx(1000.0)
+        # outlier no longer dominates: most mass not squeezed near zero
+        assert np.mean(out > 0.2) > 0.3
