@@ -43,12 +43,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, k_buf, v_buf, sem,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, k_buf, v_buf, sem,
                   *, scale: float, block_k: int, seq_len: int):
     """One Q block against K/V streamed from HBM with double buffering.
 
     q_ref/o_ref: (1, BQ, D) VMEM blocks; k_ref/v_ref: (BH, S, D) in HBM;
-    k_buf/v_buf: (2, BK, D) VMEM scratch; sem: (2, 2) DMA semaphores.
+    lse_ref: (1, BQ) VMEM block receiving the row logsumexp (saved for the
+    fused backward); k_buf/v_buf: (2, BK, D) VMEM scratch; sem: (2, 2) DMA
+    semaphores.
     """
     b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
@@ -101,8 +103,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, k_buf, v_buf, sem,
     m0 = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc0 = jnp.zeros((q.shape[0], D), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # row logsumexp, replicated over 8 sublanes (TPU block tiling needs the
+    # second-to-last block dim divisible by 8)
+    lse_row = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
 def _divisor_block(S: int, pref: int) -> int:
@@ -123,7 +129,10 @@ def _flash_forward(q3, k3, v3, scale: float):
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+            jax.ShapeDtypeStruct((BH, 8, S), jnp.float32),  # logsumexp (8 sublanes)
+        ),
         grid=(BH, S // block_q),
         in_specs=[
             pl.BlockSpec(
@@ -132,8 +141,11 @@ def _flash_forward(q3, k3, v3, scale: float):
             pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, block_k, D), q3.dtype),
@@ -147,6 +159,196 @@ def _flash_forward(q3, k3, v3, scale: float):
         ),
         interpret=not _on_tpu(),  # CPU tests exercise the same kernel code
     )(q3, k3, v3)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref,
+                   k_buf, v_buf, sem, *, scale: float, block_k: int, seq_len: int):
+    """dQ for one Q block; K/V streamed from HBM (FlashAttention-2 backward).
+
+    p = exp(scale * q k^T - L); dp = dO v^T; ds = p * (dp - delta);
+    dq = scale * ds @ k, with delta = rowsum(dO * O).
+    """
+    b = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    D = q.shape[-1]
+    num_kb = seq_len // block_k
+
+    def k_dma(slot, kb):
+        return pltpu.make_async_copy(
+            k_ref.at[b, pl.ds(kb * block_k, block_k), :], k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, kb):
+        return pltpu.make_async_copy(
+            v_ref.at[b, pl.ds(kb * block_k, block_k), :], v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    def body(kb, dq):
+        slot = jax.lax.rem(kb, 2)
+        next_slot = jax.lax.rem(kb + 1, 2)
+
+        @pl.when(kb + 1 < num_kb)
+        def _():
+            k_dma(next_slot, kb + 1).start()
+            v_dma(next_slot, kb + 1).start()
+
+        k_dma(slot, kb).wait()
+        v_dma(slot, kb).wait()
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((q.shape[0], D), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
+                    dk_ref, dv_ref, q_buf, do_buf, sem,
+                    *, scale: float, block_q: int, seq_len: int):
+    """dK/dV for one K block; Q/dO streamed from HBM.
+
+    dv = sum_q p^T dO ; dk = scale * sum_q ds^T q. lse/delta arrive as full
+    (1, S) rows in VMEM (a few KB)."""
+    b = pl.program_id(0)
+    k = k_blk_ref[0].astype(jnp.float32)
+    v = v_blk_ref[0].astype(jnp.float32)
+    D = k.shape[-1]
+    num_qb = seq_len // block_q
+
+    def q_dma(slot, qb):
+        return pltpu.make_async_copy(
+            q_ref.at[b, pl.ds(qb * block_q, block_q), :], q_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def do_dma(slot, qb):
+        return pltpu.make_async_copy(
+            do_ref.at[b, pl.ds(qb * block_q, block_q), :], do_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    q_dma(0, 0).start()
+    do_dma(0, 0).start()
+
+    def body(qb, carry):
+        dk, dv = carry
+        slot = jax.lax.rem(qb, 2)
+        next_slot = jax.lax.rem(qb + 1, 2)
+
+        @pl.when(qb + 1 < num_qb)
+        def _():
+            q_dma(next_slot, qb + 1).start()
+            do_dma(next_slot, qb + 1).start()
+
+        q_dma(slot, qb).wait()
+        do_dma(slot, qb).wait()
+        q = q_buf[slot].astype(jnp.float32)
+        do = do_buf[slot].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        ds = p * (dp - delta)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BK, D)
+        return dk, dv
+
+    zero = jnp.zeros((k.shape[0], D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (zero, zero))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
+    """Fused backward: returns (dq, dk, dv), all (BH, S, D)."""
+    BH, S, D = q3.shape
+    block_k = _divisor_block(S, BLOCK_K)
+    block_q = _divisor_block(S, BLOCK_Q)
+    interpret = not _on_tpu()
+
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (BH, 8, S))  # match lse layout
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, seq_len=S),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+        grid=(BH, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, D), q3.dtype),
+            pltpu.VMEM((2, block_k, D), q3.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(q3, do3, lse, delta, k3, v3)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, seq_len=S),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+            jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+        ),
+        grid=(BH, S // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, S), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, S), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_q, D), q3.dtype),
+            pltpu.VMEM((2, block_q, D), q3.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(k3, v3, lse, delta, q3, do3)
+
+    return dq, dk, dv
 
 
 def kernel_supported(shape, dtype) -> bool:
@@ -163,20 +365,29 @@ def kernel_supported(shape, dtype) -> bool:
     return True
 
 
+def _to_3d(x):
+    B, S, H, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+
+
+def _from_3d(x3, B, H):
+    BH, S, D = x3.shape
+    return x3.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
-    """BSHD full attention. Forward via the Pallas kernel, backward via an
-    XLA recomputation VJP."""
-    return _fwd_impl(q, k, v, scale)
+    """BSHD full attention; forward and backward both run as Pallas kernels
+    (FlashAttention-2 style: forward saves the row logsumexp, backward
+    recomputes p blockwise — no S^2 materialization in either direction)."""
+    out, _ = _flash_fwd(q, k, v, scale)
+    return out
 
 
 def _fwd_impl(q, k, v, scale):
     B, S, H, D = q.shape
-    q3 = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    k3 = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    v3 = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    o3 = _flash_forward(q3, k3, v3, scale)
-    return o3.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    o3, lse = _flash_forward(_to_3d(q), _to_3d(k), _to_3d(v), scale)
+    return _from_3d(o3, B, H), lse
 
 
 def _xla_attention(q, k, v, scale):
@@ -188,18 +399,18 @@ def _xla_attention(q, k, v, scale):
 
 
 def _flash_fwd(q, k, v, scale):
-    out = _fwd_impl(q, k, v, scale)
-    return out, (q, k, v)
+    out, lse = _fwd_impl(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, residuals, g):
-    q, k, v = residuals
-
-    def f(q, k, v):
-        return _xla_attention(q, k, v, scale).astype(q.dtype)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = residuals
+    B, S, H, D = q.shape
+    dq3, dk3, dv3 = _flash_backward(
+        _to_3d(q), _to_3d(k), _to_3d(v), _to_3d(out), lse, _to_3d(g.astype(q.dtype)),
+        scale,
+    )
+    return (_from_3d(dq3, B, H), _from_3d(dk3, B, H), _from_3d(dv3, B, H))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
