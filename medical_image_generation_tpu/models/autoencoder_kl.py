@@ -54,9 +54,14 @@ class Encoder(nn.Module):
         s0, k0, p0 = self.downsample_parameters[0]
         h = ConvND(self.num_channels[0], k0, s0, p0, sd, dtype=d)(x.astype(d))
 
+        # explicit ResBlock_{i} names keep the checkpoint format invariant
+        # under the remat flag (nn.remat renames the class otherwise)
+        rb = 0
         for level, ch in enumerate(self.num_channels):
             for _ in range(self.num_res_blocks[level]):
-                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                        name=f"ResBlock_{rb}")(h)
+                rb += 1
                 if self.attention_levels[level]:
                     h = AttentionBlock(-1, self.norm_num_groups, dtype=d)(h)
             if level != len(self.num_channels) - 1:
@@ -65,9 +70,11 @@ class Encoder(nn.Module):
 
         if self.with_nonlocal_attn:
             ch = self.num_channels[-1]
-            h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+            h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                    name=f"ResBlock_{rb}")(h)
             h = AttentionBlock(-1, self.norm_num_groups, dtype=d)(h)
-            h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+            h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                    name=f"ResBlock_{rb + 1}")(h)
 
         h = GroupNorm(self.norm_num_groups, 1e-6, d)(h)
         h = ConvND(self.out_channels, 3, 1, 1, sd, dtype=d)(h)
@@ -99,14 +106,20 @@ class Decoder(nn.Module):
 
         h = ConvND(channels[0], 3, 1, 1, sd, dtype=d)(z.astype(d))
 
+        rb = 0
         if self.with_nonlocal_attn:
-            h = res(channels[0], self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+            h = res(channels[0], self.norm_num_groups, 1e-6, sd, dtype=d,
+                    name=f"ResBlock_{rb}")(h)
             h = AttentionBlock(-1, self.norm_num_groups, dtype=d)(h)
-            h = res(channels[0], self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+            h = res(channels[0], self.norm_num_groups, 1e-6, sd, dtype=d,
+                    name=f"ResBlock_{rb + 1}")(h)
+            rb += 2
 
         for level, ch in enumerate(channels):
             for _ in range(res_blocks[level]):
-                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h)
+                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                        name=f"ResBlock_{rb}")(h)
+                rb += 1
                 if attn[level]:
                     h = AttentionBlock(-1, self.norm_num_groups, dtype=d)(h)
             if level != len(channels) - 1:

@@ -210,11 +210,16 @@ class DiffusionUNet(nn.Module):
         )(x.astype(d))
 
         # ---- down path, collecting skips (reference :1971-1985)
+        # explicit ResBlock_{i} names keep the checkpoint format invariant
+        # under the remat flag (nn.remat renames the class otherwise)
+        rb = 0
         skips = [h]
         for level, ch in enumerate(self.num_channels):
             is_final = level == len(self.num_channels) - 1
             for _ in range(nrb[level]):
-                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                        name=f"ResBlock_{rb}")(h, temb)
+                rb += 1
                 if self.attention_levels[level]:
                     h = attn_for(level, h)
                 skips.append(h)
@@ -233,9 +238,12 @@ class DiffusionUNet(nn.Module):
 
         # ---- mid (reference :1592-1629)
         ch = self.num_channels[-1]
-        h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+        h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                name=f"ResBlock_{rb}")(h, temb)
         h = attn_for(len(self.num_channels) - 1, h)
-        h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+        h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                name=f"ResBlock_{rb + 1}")(h, temb)
+        rb += 2
         if mid_block_additional_residual is not None:
             h = h + mid_block_additional_residual.astype(d)
 
@@ -246,7 +254,9 @@ class DiffusionUNet(nn.Module):
             for _ in range(nrb[level] + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(d)], axis=-1)
-                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d)(h, temb)
+                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                        name=f"ResBlock_{rb}")(h, temb)
+                rb += 1
                 if self.attention_levels[level]:
                     h = attn_for(level, h)
             if not is_final:

@@ -62,14 +62,23 @@ def make_optimizer(
     weight_decay: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """mu_dtype: dtype of Adam's first moment — bfloat16 halves optimizer
+    HBM traffic for large models with negligible quality impact (the second
+    moment stays fp32)."""
     chain = []
     if grad_clip_max_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_max_norm))
     if weight_decay > 0:
-        chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay))
+        chain.append(
+            optax.adamw(
+                learning_rate, b1=b1, b2=b2, weight_decay=weight_decay,
+                mu_dtype=mu_dtype,
+            )
+        )
     else:
-        chain.append(optax.adam(learning_rate, b1=b1, b2=b2))
+        chain.append(optax.adam(learning_rate, b1=b1, b2=b2, mu_dtype=mu_dtype))
     tx = optax.chain(*chain)
     if grad_accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulate_steps)
