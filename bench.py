@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 REF_A100_STEPS_PER_SEC = 1.0  # estimated torch-eager A100 reference (see above)
 TARGET_MULTIPLE = 3.0
 BATCH = 2  # planner 3D default (configuration.py:927-929 in the reference)
-N_MEASURE = 10
+N_MEASURE = 20
 N_WARMUP = 2
 
 
