@@ -50,6 +50,11 @@ class VGGFeatures(nn.Module):
                 h = nn.relu(h)
             feats.append(h)
             if stage < len(_VGG_PLAN) - 1:
+                if min(h.shape[1:3]) < 2:
+                    # small/rectangular inputs (fake-3D slice stacks) exhaust
+                    # the pyramid early; pooling a size-1 axis would emit
+                    # empty tensors
+                    break
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
         return tuple(feats)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from types import SimpleNamespace
 from typing import Optional
 
 import jax
@@ -74,15 +75,11 @@ def main_ldm():
     config.setdefault("load_model_path", None)
     trainer = LDMTrainer(config, latent_space_type=args.latent_space_type)
     payload = ckpt.load_checkpoint(ckpt_path)
-    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     trainer.scale_factor = float(payload["scale_factor"])
     trainer.latent_shape = tuple(int(v) for v in payload["latent_shape"])
-
-    class _State:
-        pass
-
-    state = _State()
-    state.params = params
+    state = SimpleNamespace(
+        params=jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    )
     images = trainer.sample_images(
         state, args.n_samples, jax.random.PRNGKey(args.seed),
         sampler=args.sampler, num_inference_steps=args.num_inference_steps,
@@ -102,13 +99,9 @@ def main_ddpm():
     config.setdefault("load_model_path", None)
     trainer = DDPMTrainer(config)
     payload = ckpt.load_checkpoint(ckpt_path)
-    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
-
-    class _State:
-        pass
-
-    state = _State()
-    state.params = params
+    state = SimpleNamespace(
+        params=jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    )
     images = trainer.sample_images(
         state, args.n_samples, jax.random.PRNGKey(args.seed),
         sampler=args.sampler, num_inference_steps=args.num_inference_steps,
