@@ -23,6 +23,23 @@ class TrainState(train_state.TrainState):
     """Flax TrainState; params fp32, compute dtype handled by the modules."""
 
 
+class EMATrainState(train_state.TrainState):
+    """TrainState carrying an exponential moving average of the params.
+
+    EMA weights are the standard sampling/eval weights for diffusion models
+    (the reference has none; enable via config ``ema_decay``)."""
+
+    ema_params: Any = None
+
+    def update_ema(self, decay: float) -> "EMATrainState":
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            self.ema_params,
+            self.params,
+        )
+        return self.replace(ema_params=new_ema)
+
+
 def make_lr_schedule(
     base_lr: float,
     scheduler: Optional[str],

@@ -70,6 +70,7 @@ class DDPMTrainer:
         self.schedule = NoiseSchedule.from_config(config["time_scheduler_params"])
 
         self.n_epochs = int(config.get("n_epochs", 100))
+        self.ema_decay = config.get("ema_decay")  # e.g. 0.999; None = off
         self.grad_accum = int(config.get("grad_accumulate_step", 1))
         self.clip = float(config.get("grad_clip_max_norm", 1.0))
         self.aug_cfg = AugmentConfig.from_transformations(
@@ -97,9 +98,15 @@ class DDPMTrainer:
             250,
         )
         tx = common.make_optimizer(sched, self.clip, self.grad_accum, weight_decay=1e-2)
-        state = common.TrainState.create(
-            apply_fn=self.unet.apply, params=variables["params"], tx=tx
-        )
+        if self.ema_decay:
+            state = common.EMATrainState.create(
+                apply_fn=self.unet.apply, params=variables["params"], tx=tx,
+                ema_params=jax.tree_util.tree_map(lambda p: p, variables["params"]),
+            )
+        else:
+            state = common.TrainState.create(
+                apply_fn=self.unet.apply, params=variables["params"], tx=tx
+            )
         print(f"Diffusion U-Net parameters: {count_params(state.params):,}")
         return jax.device_put(state, replicated_sharding(self.mesh))
 
@@ -120,6 +127,8 @@ class DDPMTrainer:
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
+            if self.ema_decay:
+                state = state.update_ema(float(self.ema_decay))
             return state, loss
 
         return jax.jit(step, donate_argnums=(0,))
@@ -139,13 +148,19 @@ class DDPMTrainer:
 
         return jax.jit(step)
 
+    def _sampling_params(self, state):
+        """EMA weights when enabled, else the live params."""
+        ema = getattr(state, "ema_params", None)
+        return ema if ema is not None else state.params
+
     def sample_images(self, state, n_samples, rng, sampler="ddpm",
                       num_inference_steps: Optional[int] = None) -> np.ndarray:
         shape = (n_samples,) + self.image_shape
 
+        sampling_params = self._sampling_params(state)
         if sampler == "ddim":
             def model_fn(x, t):
-                return self.unet.apply({"params": state.params}, x, t)
+                return self.unet.apply({"params": sampling_params}, x, t)
 
             z = ddim_sample(self.schedule, model_fn, shape, rng,
                             num_inference_steps=num_inference_steps or 50)
@@ -155,7 +170,7 @@ class DDPMTrainer:
                     self.schedule,
                     lambda params, x, t: self.unet.apply({"params": params}, x, t),
                 )
-            z = self._ddpm_sampler(state.params, shape, rng)
+            z = self._ddpm_sampler(sampling_params, shape, rng)
         return np.asarray(jnp.clip(z, 0.0, 1.0))
 
     def train(self, train_loader, val_loader) -> None:
@@ -232,6 +247,10 @@ class DDPMTrainer:
         payload = {
             "epoch": epoch,
             "params": ckpt.to_host(state.params),
+            **(
+                {"ema_params": ckpt.to_host(state.ema_params)}
+                if getattr(state, "ema_params", None) is not None else {}
+            ),
             "opt_state": ckpt.to_host(state.opt_state),
             "step": int(state.step),
             "validation_loss": val_loss,
@@ -249,6 +268,10 @@ class DDPMTrainer:
         target = {
             "epoch": 0,
             "params": ckpt.to_host(state.params),
+            **(
+                {"ema_params": ckpt.to_host(state.ema_params)}
+                if getattr(state, "ema_params", None) is not None else {}
+            ),
             "opt_state": ckpt.to_host(state.opt_state),
             "step": 0,
             "validation_loss": 0.0,
@@ -257,6 +280,8 @@ class DDPMTrainer:
         state = state.replace(
             params=payload["params"], opt_state=payload["opt_state"], step=payload["step"]
         )
+        if getattr(state, "ema_params", None) is not None and "ema_params" in payload:
+            state = state.replace(ema_params=payload["ema_params"])
         self.start_epoch = int(payload["epoch"]) + 1
         self.best_val = float(payload["validation_loss"])
         prior = ckpt.load_loss_dict(self.save_path)

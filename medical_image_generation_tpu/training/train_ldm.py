@@ -93,6 +93,7 @@ class LDMTrainer:
         self.schedule = NoiseSchedule.from_config(config["time_scheduler_params"])
 
         self.n_epochs = int(config.get("n_epochs", 100))
+        self.ema_decay = config.get("ema_decay")  # e.g. 0.999; None = off
         self.grad_accum = int(config.get("grad_accumulate_step", 1))
         self.clip = float(config.get("grad_clip_max_norm", 1.0))
         self.aug_cfg = AugmentConfig.from_transformations(
@@ -169,9 +170,15 @@ class LDMTrainer:
         tx = common.make_optimizer(
             sched, self.clip, self.grad_accum, weight_decay=1e-2  # AdamW (reference :121)
         )
-        state = common.TrainState.create(
-            apply_fn=self.unet.apply, params=variables["params"], tx=tx
-        )
+        if self.ema_decay:
+            state = common.EMATrainState.create(
+                apply_fn=self.unet.apply, params=variables["params"], tx=tx,
+                ema_params=jax.tree_util.tree_map(lambda p: p, variables["params"]),
+            )
+        else:
+            state = common.TrainState.create(
+                apply_fn=self.unet.apply, params=variables["params"], tx=tx
+            )
         print(f"Diffusion U-Net parameters: {count_params(state.params):,}")
         return jax.device_put(state, replicated_sharding(self.mesh))
 
@@ -194,6 +201,8 @@ class LDMTrainer:
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
+            if self.ema_decay:
+                state = state.update_ema(float(self.ema_decay))
             return state, loss
 
         return jax.jit(step, donate_argnums=(0,))
@@ -216,6 +225,11 @@ class LDMTrainer:
 
     # ---------------------------------------------------------------- sampling
 
+    def _sampling_params(self, state):
+        """EMA weights when enabled, else the live params."""
+        ema = getattr(state, "ema_params", None)
+        return ema if ema is not None else state.params
+
     def sample_images(self, state, n_samples: int, rng, sampler: str = "ddpm",
                       num_inference_steps: Optional[int] = None) -> np.ndarray:
         """Generate n_samples images (decoded) via compiled trajectories
@@ -223,9 +237,10 @@ class LDMTrainer:
         assert self.latent_shape is not None
         shape = (n_samples,) + self.latent_shape[1:]
 
+        sampling_params = self._sampling_params(state)
         if sampler == "ddim":
             def model_fn(x, t):
-                return self.unet.apply({"params": state.params}, x, t)
+                return self.unet.apply({"params": sampling_params}, x, t)
 
             steps = num_inference_steps or 50
             z = ddim_sample(self.schedule, model_fn, shape, rng, num_inference_steps=steps)
@@ -235,7 +250,7 @@ class LDMTrainer:
                     self.schedule,
                     lambda params, x, t: self.unet.apply({"params": params}, x, t),
                 )
-            z = self._ddpm_sampler(state.params, shape, rng)
+            z = self._ddpm_sampler(sampling_params, shape, rng)
         images = self._decode(z)
         return np.asarray(jnp.clip(images, 0.0, 1.0))
 
@@ -372,6 +387,10 @@ class LDMTrainer:
         payload = {
             "epoch": epoch,
             "params": ckpt.to_host(state.params),
+            **(
+                {"ema_params": ckpt.to_host(state.ema_params)}
+                if getattr(state, "ema_params", None) is not None else {}
+            ),
             "opt_state": ckpt.to_host(state.opt_state),
             "step": int(state.step),
             "validation_loss": val_loss,
@@ -391,6 +410,10 @@ class LDMTrainer:
         target = {
             "epoch": 0,
             "params": ckpt.to_host(state.params),
+            **(
+                {"ema_params": ckpt.to_host(state.ema_params)}
+                if getattr(state, "ema_params", None) is not None else {}
+            ),
             "opt_state": ckpt.to_host(state.opt_state),
             "step": 0,
             "validation_loss": 0.0,
@@ -401,6 +424,8 @@ class LDMTrainer:
         state = state.replace(
             params=payload["params"], opt_state=payload["opt_state"], step=payload["step"]
         )
+        if getattr(state, "ema_params", None) is not None and "ema_params" in payload:
+            state = state.replace(ema_params=payload["ema_params"])
         self.start_epoch = int(payload["epoch"]) + 1
         self.best_val = float(payload["validation_loss"])
         self.scale_factor = float(payload["scale_factor"])

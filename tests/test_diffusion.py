@@ -139,3 +139,25 @@ class TestSegmentedSampler:
         b = ddpm_sample(sched, model_fn, (1, 4, 4, 1), jax.random.PRNGKey(1),
                         max_steps_per_call=8)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestEMA:
+    def test_ema_state_tracks_params(self):
+        import optax
+
+        from medical_image_generation_tpu.training import common
+
+        params = {"w": jnp.zeros((4,))}
+        state = common.EMATrainState.create(
+            apply_fn=lambda *a: None, params=params, tx=optax.sgd(1.0),
+            ema_params=jax.tree_util.tree_map(lambda p: p, params),
+        )
+        grads = {"w": -jnp.ones((4,))}  # sgd(1.0) -> params become 1.0
+        state = state.apply_gradients(grads=grads)
+        state = state.update_ema(0.9)
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.1, rtol=1e-6)
+        # repeated updates converge toward the params
+        for _ in range(100):
+            state = state.update_ema(0.9)
+        assert float(jnp.abs(state.ema_params["w"] - 1.0).max()) < 1e-4
