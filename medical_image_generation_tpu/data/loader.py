@@ -253,6 +253,18 @@ def get_data_loaders(
     ds_path = resolve_preprocessed_path(dataset_id, preprocessed_root)
     images_path = os.path.join(ds_path, "imagesTr")
 
+    # multi-host: each process streams its own shard of the training ids
+    # (validation stays identical everywhere so val metrics agree)
+    try:
+        import jax
+
+        n_proc, proc = jax.process_count(), jax.process_index()
+    except Exception:  # pragma: no cover
+        n_proc, proc = 1, 0
+    if n_proc > 1 and len(ids["train"]) >= 2 * n_proc:
+        ids = dict(ids, train=ids["train"][proc::n_proc])
+        print(f"host {proc}/{n_proc}: {len(ids['train'])} training patients in shard")
+
     patch_size = list(transformations["patch_size"])
     if model_type == "2d" and len(patch_size) == 3:
         patch_size = patch_size[-2:]

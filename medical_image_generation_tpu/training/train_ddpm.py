@@ -101,7 +101,9 @@ class DDPMTrainer:
         if self.ema_decay:
             state = common.EMATrainState.create(
                 apply_fn=self.unet.apply, params=variables["params"], tx=tx,
-                ema_params=jax.tree_util.tree_map(lambda p: p, variables["params"]),
+                # real copies: aliasing params would double-donate buffers under
+                # donate_argnums and fault the TPU runtime
+                ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
             )
         else:
             state = common.TrainState.create(
