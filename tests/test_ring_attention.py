@@ -1,0 +1,52 @@
+"""Ring attention (sequence-parallel) vs full attention on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_generation_tpu.ops.pallas_attention import _xla_attention
+from medical_image_generation_tpu.ops.ring_attention import ring_attention
+from medical_image_generation_tpu.parallel.mesh import get_mesh
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_matches_full_attention(self, n_shards):
+        mesh = get_mesh(model_parallel=n_shards)
+        B, S, H, D = 2, 64, 2, 16
+        rng = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(rng[0], (B, S, H, D))
+        k = jax.random.normal(rng[1], (B, S, H, D))
+        v = jax.random.normal(rng[2], (B, S, H, D))
+
+        out = ring_attention(q, k, v, mesh)
+        ref = _xla_attention(q, k, v, D**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_jittable_and_sharded(self):
+        mesh = get_mesh(model_parallel=4)
+        B, S, H, D = 1, 32, 1, 8
+        q = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+
+        f = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))
+        out = f(q, q, q)
+        ref = _xla_attention(q, q, q, D**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_rejects_indivisible_sequence(self):
+        mesh = get_mesh(model_parallel=4)
+        q = jnp.zeros((1, 30, 1, 8))
+        with pytest.raises(AssertionError):
+            ring_attention(q, q, q, mesh)
+
+    def test_bf16(self):
+        mesh = get_mesh(model_parallel=2)
+        B, S, H, D = 1, 64, 1, 16
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D), jnp.bfloat16)
+        out = ring_attention(q, q, q, mesh)
+        ref = _xla_attention(q, q, q, D**-0.5)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
