@@ -88,7 +88,11 @@ def ring_attention(
         acc0 = jnp.zeros((b * h, s_loc, d), jnp.float32)
         # mark the init carries as device-varying so the fori_loop carry
         # types match (the folded outputs vary across the mesh axis)
-        if hasattr(jax.lax, "pvary"):
+        if hasattr(jax.lax, "pcast"):
+            m0, l0, acc0 = (
+                jax.lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0)
+            )
+        elif hasattr(jax.lax, "pvary"):  # pragma: no cover - older jax
             m0, l0, acc0 = (jax.lax.pvary(x, (axis_name,)) for x in (m0, l0, acc0))
 
         size = jax.lax.axis_size(axis_name)
