@@ -121,3 +121,27 @@ class TestVolStore:
         expected = np.zeros((1, 7, 9, 6), dtype=np.float32)
         expected[:, 1:6, 0:7, 0:6] = arr[:, 0:5, 2:9, 3:9]
         np.testing.assert_array_equal(got, expected)
+
+
+class TestVolStoreConcurrency:
+    def test_concurrent_bbox_reads(self, tmp_path):
+        """The prefetch loader reads one store from many threads."""
+        import concurrent.futures
+
+        rng = np.random.default_rng(8)
+        arr = rng.normal(size=(1, 16, 64, 64)).astype(np.float32)
+        path = str(tmp_path / "c.vs")
+        volstore.write_volume(path, arr, chunk_shape=(1, 1, 64, 64))
+        vs = volstore.open_volume(path)
+
+        def read(i):
+            z = i % 12
+            got = vs.read_bbox([0, z, 0, 0], [1, z + 4, 64, 64])
+            expected = np.zeros((1, 4, 64, 64), np.float32)
+            upper = min(z + 4, 16)
+            expected[:, : upper - z] = arr[:, z:upper]
+            np.testing.assert_array_equal(got, expected)
+            return True
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            assert all(ex.map(read, range(64)))
