@@ -123,7 +123,10 @@ def filter_config_by_mode(config: dict, args_mode: str) -> dict:
     if args_mode in ("train_autoencoder", "train_ldm"):
         latent = config.get("latent_space_type", "vae").lower()
         if latent == "vq":
-            config.pop("vae_params", None)
+            # the planner only emits vae_params; the VQ models reuse its
+            # geometry when no explicit vqvae_params is given — keep it then
+            if config.get("vqvae_params"):
+                config.pop("vae_params", None)
             config.pop("kl_weight", None)
         else:
             config.pop("vqvae_params", None)

@@ -33,6 +33,7 @@ import optax
 from medical_image_generation_tpu.config.run import (
     apply_overrides,
     create_save_path_dict,
+    filter_config_by_mode,
     get_config_for_current_task,
     print_configuration,
 )
@@ -439,6 +440,8 @@ def main():
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
     config = apply_overrides(config, args.overrides)
+    config["latent_space_type"] = args.latent_space_type
+    config = filter_config_by_mode(config, "train_autoencoder")
     print_configuration(config, config["results_path"], "train", model="autoencoder")
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ae_batch_size"],

@@ -23,6 +23,7 @@ import numpy as np
 from medical_image_generation_tpu.config.run import (
     apply_overrides,
     create_save_path_dict,
+    filter_config_by_mode,
     get_config_for_current_task,
     print_configuration,
 )
@@ -319,6 +320,7 @@ def main():
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
     config = apply_overrides(config, args.overrides)
+    config = filter_config_by_mode(config, "train_ddpm")
     print_configuration(config, config["results_path"], "train", model="ddpm")
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ddpm_batch_size"],

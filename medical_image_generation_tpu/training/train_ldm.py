@@ -30,6 +30,7 @@ import numpy as np
 from medical_image_generation_tpu.config.run import (
     apply_overrides,
     create_save_path_dict,
+    filter_config_by_mode,
     get_config_for_current_task,
     print_configuration,
 )
@@ -468,6 +469,8 @@ def main():
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
     config = apply_overrides(config, args.overrides)
+    config["latent_space_type"] = args.latent_space_type
+    config = filter_config_by_mode(config, "train_ldm")
     # LDM consumes the AE's best checkpoint (reference train_ldm.py:631-636)
     results_root = os.getenv("medimgen_results")
     ae_best = os.path.join(

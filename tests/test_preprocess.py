@@ -180,3 +180,43 @@ class TestConfigOverrides:
 
         with _pytest.raises(ValueError):
             apply_overrides({}, ["no_equals_sign"])
+
+
+class TestFilterConfigByMode:
+    def _cfg(self):
+        return {
+            "vae_params": {"spatial_dims": 2}, "kl_weight": 1e-6,
+            "ddpm_params": {"spatial_dims": 2}, "time_scheduler_params": {},
+            "ddpm_learning_rate": 2e-5, "adv_weight": 0.01,
+            "perceptual_params": {}, "discriminator_params": {},
+            "g_learning_rate": 5e-5,
+        }
+
+    def test_autoencoder_mode_drops_ddpm(self):
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        out = filter_config_by_mode(self._cfg(), "train_autoencoder")
+        assert "ddpm_params" not in out and "time_scheduler_params" not in out
+        assert "vae_params" in out and "kl_weight" in out
+
+    def test_ldm_mode_drops_ae_losses(self):
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        out = filter_config_by_mode(self._cfg(), "train_ldm")
+        assert "adv_weight" not in out and "perceptual_params" not in out
+        assert "ddpm_params" in out and "vae_params" in out
+
+    def test_vq_without_vqvae_params_keeps_vae_geometry(self):
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        cfg = dict(self._cfg(), latent_space_type="vq")
+        out = filter_config_by_mode(cfg, "train_autoencoder")
+        assert "vae_params" in out  # planner emits no vqvae_params
+        assert "kl_weight" not in out
+
+    def test_vq_with_vqvae_params_drops_vae(self):
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        cfg = dict(self._cfg(), latent_space_type="vq", vqvae_params={"x": 1})
+        out = filter_config_by_mode(cfg, "train_autoencoder")
+        assert "vae_params" not in out and "vqvae_params" in out
