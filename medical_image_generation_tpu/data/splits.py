@@ -12,7 +12,6 @@ import json
 import os
 from typing import Dict, List, Optional
 
-import numpy as np
 from sklearn.model_selection import KFold, train_test_split
 
 

@@ -10,8 +10,7 @@ never shipped (pyproject.toml:44-45).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,7 @@ jit with no host round-trips.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Tuple
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np

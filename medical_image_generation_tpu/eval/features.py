@@ -18,8 +18,6 @@ zero-egress image. Capability-preserving design:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

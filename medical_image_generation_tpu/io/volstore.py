@@ -30,7 +30,7 @@ import subprocess
 import sys
 import threading
 import zlib
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ flash attention for the nonlocal blocks.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

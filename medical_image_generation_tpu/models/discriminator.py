@@ -8,8 +8,6 @@ normalization, LeakyReLU, and a 1-channel patch logit map output.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -19,8 +19,7 @@ and the loss becomes true LPIPS-style VGG distance.
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

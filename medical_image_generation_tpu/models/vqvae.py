@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from medical_image_generation_tpu.models.autoencoder_kl import Decoder, Encoder
-from medical_image_generation_tpu.models.blocks import ConvND
 
 
 class VectorQuantizer(nn.Module):

@@ -18,7 +18,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=1)

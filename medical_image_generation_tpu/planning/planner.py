@@ -16,7 +16,7 @@ All functions are pure and unit-tested (tests/test_planner.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 # Valid snapped sizes. Same ladders as the reference (configuration.py:826-830):
 # multiples of small primes by powers of two, so every size divides cleanly

@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from scipy import ndimage
 
-from medical_image_generation_tpu.io.nifti import NiftiImage, load_nifti
+from medical_image_generation_tpu.io.nifti import load_nifti
 from medical_image_generation_tpu.io.volstore import write_volume
 
 ANISOTROPY_THRESHOLD = 3.0

@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-from typing import Optional, Sequence
-
 import numpy as np
 
 from medical_image_generation_tpu.io.nifti import load_nifti, save_nifti

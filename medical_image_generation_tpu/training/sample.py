@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 from types import SimpleNamespace
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,13 +22,11 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from medical_image_generation_tpu.config.run import (
     apply_overrides,
