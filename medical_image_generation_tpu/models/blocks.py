@@ -62,7 +62,11 @@ class ConvND(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm computed in float32, output cast back to the compute dtype."""
+    """GroupNorm computed in float32, output cast back to the compute dtype.
+
+    The input is NOT pre-cast: flax promotes to the float32 computation dtype
+    internally, which lets XLA fuse the upcast into the reduction instead of
+    materializing a full fp32 copy of the activation."""
 
     num_groups: int = 32
     epsilon: float = 1e-6
@@ -75,7 +79,7 @@ class GroupNorm(nn.Module):
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        )(x)
         return h.astype(self.dtype)
 
 
