@@ -349,8 +349,18 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
     return dq, dk, dv
 
 
+MIN_SEQ_FOR_KERNEL = 8192
+
+
 def kernel_supported(shape, dtype) -> bool:
-    """Engage only where the kernel's tiling assumptions hold."""
+    """Engage only where the kernel's tiling assumptions hold AND it beats
+    XLA's fused attention.
+
+    Measured on v5e at the flagship grid (S=4096, D=512): XLA's attention is
+    ~6% faster end-to-end — its S^2 logits fit HBM trivially there. The
+    streaming kernel wins where the S^2 materialization starts to hurt, so
+    it engages from MIN_SEQ_FOR_KERNEL tokens (e.g. >= 32^3/4 latent grids).
+    """
     B, S, H, D = shape
     if D % 128 != 0:
         return False
@@ -359,6 +369,8 @@ def kernel_supported(shape, dtype) -> bool:
     # VMEM footprint is bounded by blocks, not S; cap D so the f32
     # accumulator + two double-buffered K/V slots stay comfortable.
     if D > 1024:
+        return False
+    if S < MIN_SEQ_FOR_KERNEL:
         return False
     return True
 
