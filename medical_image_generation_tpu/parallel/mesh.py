@@ -36,6 +36,13 @@ def get_mesh(
     """
     devs = list(devices) if devices is not None else list(jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"devices are visible; provision more (e.g. "
+                f"--xla_force_host_platform_device_count) before building "
+                f"the mesh"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_parallel != 0:
