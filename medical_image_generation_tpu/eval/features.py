@@ -102,15 +102,22 @@ class FeatureExtractor:
 
     def preprocess_2d(self, images: jax.Array) -> jax.Array:
         """RadImageNet-style: grayscale -> 3ch, BGR order, mean subtraction
-        (reference train_ldm.py:242-255)."""
+        (reference train_ldm.py:242-255). Multi-channel inputs (e.g. joint
+        image+label, C=2) collapse to grayscale first — the extractor's conv
+        stack is initialized for exactly 3 input channels."""
         if images.shape[-1] == 1:
             images = jnp.repeat(images, 3, axis=-1)
+        elif images.shape[-1] != 3:
+            images = jnp.repeat(jnp.mean(images, axis=-1, keepdims=True), 3, axis=-1)
         images = images[..., ::-1]  # RGB -> BGR
         mean = jnp.asarray([0.406, 0.456, 0.485])
         return images - mean
 
     def preprocess_3d(self, images: jax.Array) -> jax.Array:
-        """MedicalNet-style per-volume z-score (train_ldm.py:257-263)."""
+        """MedicalNet-style per-volume z-score (train_ldm.py:257-263).
+        Collapses C>1 volumes to one channel (the conv kernels expect C=1)."""
+        if images.shape[-1] != 1:
+            images = jnp.mean(images, axis=-1, keepdims=True)
         axes = tuple(range(1, images.ndim))
         mean = jnp.mean(images, axis=axes, keepdims=True)
         std = jnp.std(images, axis=axes, keepdims=True) + 1e-7

@@ -152,11 +152,15 @@ def load_nifti(path: str) -> NiftiImage:
     else:
         affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
 
-    if (scl_slope not in (0.0, 1.0) and np.isfinite(scl_slope)) or (
-        scl_inter not in (0.0,) and np.isfinite(scl_inter) and scl_inter != 0.0
+    # NIfTI-1: scl_slope == 0 (or non-finite) means "no scaling" — both
+    # fields are ignored then, even if scl_inter holds a stale value.
+    if (
+        np.isfinite(scl_slope)
+        and scl_slope != 0.0
+        and np.isfinite(scl_inter)
+        and (scl_slope != 1.0 or scl_inter != 0.0)
     ):
-        slope = scl_slope if scl_slope not in (0.0,) and np.isfinite(scl_slope) else 1.0
-        data = data.astype(np.float32) * np.float32(slope) + np.float32(scl_inter)
+        data = data.astype(np.float32) * np.float32(scl_slope) + np.float32(scl_inter)
     else:
         data = data.astype(dtype.newbyteorder("="))
 

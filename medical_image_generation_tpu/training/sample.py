@@ -53,8 +53,12 @@ def _write_outputs(images: np.ndarray, output_dir: str, model_type: str, tag: st
     for i, img in enumerate(images):
         if model_type == "3d":
             vol = np.squeeze(img, axis=-1) if img.shape[-1] == 1 else img
-            # back to NIfTI (X, Y, Z) order from (Z, Y, X)
-            vol = np.transpose(vol, tuple(reversed(range(vol.ndim))))
+            # back to NIfTI (X, Y, Z[, C]) order from (Z, Y, X[, C]):
+            # only the spatial axes reverse; channels stay trailing (NIfTI dim 4)
+            if vol.ndim == 4:
+                vol = np.transpose(vol, (2, 1, 0, 3))
+            else:
+                vol = np.transpose(vol, (2, 1, 0))
             save_nifti(os.path.join(output_dir, f"{tag}_{i:03d}.nii.gz"), vol.astype(np.float32))
         else:
             plots.save_image_grid_2d([img], os.path.join(output_dir, f"{tag}_{i:03d}.png"), ncols=1)

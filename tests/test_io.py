@@ -39,6 +39,34 @@ class TestNifti:
         nifti.save_nifti(path, data, affine)
         np.testing.assert_allclose(nifti.extract_spacing(path), [0.5, 0.5, 3.0], rtol=1e-6)
 
+    def test_slope_zero_means_no_scaling(self, tmp_path):
+        # NIfTI-1 spec: scl_slope == 0 means no scaling; a stale scl_inter
+        # must be ignored (not applied as an intensity shift)
+        import struct
+
+        data = (np.arange(3 * 4 * 5).reshape(3, 4, 5) % 50).astype(np.int16)
+        path = str(tmp_path / "slope0.nii")
+        nifti.save_nifti(path, data)
+        raw = bytearray(open(path, "rb").read())
+        struct.pack_into("<f", raw, 112, 0.0)  # scl_slope = 0
+        struct.pack_into("<f", raw, 116, 100.0)  # garbage scl_inter
+        open(path, "wb").write(bytes(raw))
+        img = nifti.load_nifti(path)
+        np.testing.assert_array_equal(img.data, data)
+
+    def test_slope_applied_when_meaningful(self, tmp_path):
+        import struct
+
+        data = np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(np.int16)
+        path = str(tmp_path / "slope2.nii")
+        nifti.save_nifti(path, data)
+        raw = bytearray(open(path, "rb").read())
+        struct.pack_into("<f", raw, 112, 2.0)
+        struct.pack_into("<f", raw, 116, 10.0)
+        open(path, "wb").write(bytes(raw))
+        img = nifti.load_nifti(path)
+        np.testing.assert_allclose(img.data, data * 2.0 + 10.0)
+
     def test_get_fdata(self, tmp_path):
         data = np.ones((3, 3, 3), dtype=np.float32)
         path = str(tmp_path / "f.nii.gz")
