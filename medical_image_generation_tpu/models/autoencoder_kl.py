@@ -221,8 +221,41 @@ class AutoencoderKL(nn.Module):
             self.latent_channels, 1, 1, 0, self.spatial_dims, dtype=self.dtype
         )
 
+    def _encoder_features(self, x) -> jax.Array:
+        """Encoder forward, via the lane-packed execution path when the
+        geometry qualifies (models/packed_encoder.py: identical math, 128-lane
+        tensors end-to-end — the module path lane-pads the 32-channel level-0
+        4x on TPU). Falls back to the Encoder module during init or for
+        geometries the packed path doesn't cover."""
+        if not self.is_initializing():
+            from medical_image_generation_tpu.models import packed_encoder as pe
+
+            if pe.packing_viable(
+                attention_levels=self.attention_levels,
+                with_nonlocal_attn=self.with_encoder_nonlocal_attn,
+                downsample_parameters=self.downsample_parameters,
+            ):
+                enc_params = self.variables.get("params", {}).get("encoder")
+                if enc_params is not None:
+                    nrb = self.num_res_blocks
+                    nrb = (tuple(nrb) if isinstance(nrb, (list, tuple))
+                           else (nrb,) * len(self.num_channels))
+                    try:
+                        return pe.encoder_forward_packed(
+                            enc_params, x,
+                            num_channels=tuple(self.num_channels),
+                            num_res_blocks=nrb,
+                            norm_num_groups=self.norm_num_groups,
+                            downsample_parameters=self.downsample_parameters,
+                            use_checkpointing=self.use_checkpointing,
+                            dtype=self.dtype,
+                        )
+                    except ValueError:  # e.g. indivisible extents
+                        pass
+        return self.encoder(x)
+
     def encode(self, x) -> Tuple[jax.Array, jax.Array]:
-        h = self.encoder(x)
+        h = self._encoder_features(x)
         mu = self.quant_conv_mu(h).astype(jnp.float32)
         log_var = self.quant_conv_log_sigma(h).astype(jnp.float32)
         log_var = jnp.clip(log_var, LOGVAR_MIN, LOGVAR_MAX)
