@@ -17,7 +17,17 @@ Implemented set = the reference's *soft* augmentation branch
 plus the heavier optional transforms gated by config switches:
   gaussian noise var 0-0.1            p=0.1
   gaussian blur sigma 0.5-1.0         p=0.2  (separable, fixed 5-tap kernel)
-  simulated low resolution 0.5-1x     p=0.25
+  simulated low resolution 0.5-1x     p=0.25 (nearest-down + linear-up,
+      per-channel p=0.5, scale synchronized across axes — reference
+      SimulateLowResolutionTransform, data_processing.py:812-822; under
+      ``dummy_2d`` the z axis is excluded, matching ignore_axes=(0,))
+  elastic deformation                 p=0.2  (smooth coarse-grid displacement
+      field, in-plane; the reference exposes the CLI switch,
+      configuration.py:70, with p_elastic_deform=0 by default)
+  dummy_2d: in-plane-only spatial transforms for anisotropic 3D data
+      (Convert3DTo2DTransform, data_processing.py:759-776). Rotation/scale
+      here are ALWAYS in-plane (the soft branch rotates around z only), so
+      the switch's remaining effect is the low-res z exclusion above.
 
 Inputs are channels-last: (B, Y, X, C) or (B, Z, Y, X, C). Rotation/scaling
 act on the (Y, X) plane only — matching the reference's soft branch, which
@@ -43,6 +53,8 @@ class AugmentConfig(NamedTuple):
     gaussian_noise: bool = False
     gaussian_blur: bool = False
     low_resolution: bool = False
+    dummy_2d: bool = False
+    elastic: bool = False
 
     @staticmethod
     def from_transformations(t: Dict) -> "AugmentConfig":
@@ -56,6 +68,8 @@ class AugmentConfig(NamedTuple):
             gaussian_noise=t.get("gaussian_noise", False),
             gaussian_blur=t.get("gaussian_blur", False),
             low_resolution=t.get("low_resolution", False),
+            dummy_2d=t.get("dummy_2d", False),
+            elastic=t.get("elastic", False),
         )
 
 
@@ -66,26 +80,16 @@ CONTRAST_RANGE = (0.9, 1.1)
 GAMMA_RANGE = (0.9, 1.1)
 
 P_ROT, P_SCALE, P_BRIGHT, P_CONTRAST, P_GAMMA = 0.2, 0.2, 0.15, 0.15, 0.3
-P_NOISE, P_BLUR, P_LOWRES = 0.1, 0.2, 0.25
+P_NOISE, P_BLUR, P_LOWRES, P_ELASTIC = 0.1, 0.2, 0.25, 0.2
+LOWRES_SCALE = (0.5, 1.0)  # reference data_processing.py:814
+ELASTIC_MAX_FRAC = 0.08  # max displacement as a fraction of the plane size
 
 
-def _rotate_scale_plane(img: jax.Array, angle: jax.Array, scale: jax.Array) -> jax.Array:
-    """Bilinear in-plane (Y, X) rotation+scale of one sample.
-
-    img: (..., Y, X, C) with leading optional Z. Output coords map back into
-    the input by the inverse transform around the plane center; outside
-    voxels are zero (the reference SpatialTransform pads with 0).
-    """
+def _bilinear_sample_plane(img: jax.Array, src_y: jax.Array, src_x: jax.Array) -> jax.Array:
+    """Bilinear gather of (..., Y, X, C) at fractional plane coords
+    (H, W)-shaped src_y/src_x; out-of-bounds voxels are zero (the reference
+    SpatialTransform pads with 0)."""
     *lead, H, W, C = img.shape
-    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    ys = jnp.arange(H, dtype=jnp.float32) - cy
-    xs = jnp.arange(W, dtype=jnp.float32) - cx
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    inv = 1.0 / scale
-    src_y = (cos * yy + sin * xx) * inv + cy
-    src_x = (-sin * yy + cos * xx) * inv + cx
-
     y0 = jnp.floor(src_y).astype(jnp.int32)
     x0 = jnp.floor(src_x).astype(jnp.int32)
     wy = src_y - y0
@@ -109,6 +113,91 @@ def _rotate_scale_plane(img: jax.Array, angle: jax.Array, scale: jax.Array) -> j
     return top * (1 - wy) + bot * wy
 
 
+def _rotate_scale_plane(img: jax.Array, angle: jax.Array, scale: jax.Array) -> jax.Array:
+    """Bilinear in-plane (Y, X) rotation+scale of one sample.
+
+    img: (..., Y, X, C) with leading optional Z. Output coords map back into
+    the input by the inverse transform around the plane center.
+    """
+    *lead, H, W, C = img.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    xs = jnp.arange(W, dtype=jnp.float32) - cx
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    inv = 1.0 / scale
+    src_y = (cos * yy + sin * xx) * inv + cy
+    src_x = (-sin * yy + cos * xx) * inv + cx
+    return _bilinear_sample_plane(img, src_y, src_x)
+
+
+def _elastic_plane(img: jax.Array, rng: jax.Array, grid: int = 4) -> jax.Array:
+    """Smooth random in-plane displacement field: coarse (grid x grid)
+    Gaussian offsets, bilinearly upsampled to (H, W), applied to the (Y, X)
+    sampling coordinates of every z slice / channel (capability equivalent of
+    the reference's p_elastic_deform hook, data_processing.py:766-773)."""
+    *lead, H, W, C = img.shape
+    k_mag, k_field = jax.random.split(rng)
+    mag = jax.random.uniform(k_mag, minval=0.0, maxval=ELASTIC_MAX_FRAC) * min(H, W)
+    coarse = jax.random.normal(k_field, (2, grid, grid), jnp.float32)
+    dy = jax.image.resize(coarse[0], (H, W), "bilinear") * mag
+    dx = jax.image.resize(coarse[1], (H, W), "bilinear") * mag
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return _bilinear_sample_plane(img, yy + dy, xx + dx)
+
+
+def _axis_lowres(x: jax.Array, s: jax.Array, axis: int) -> jax.Array:
+    """Simulated low resolution along one axis, shape-statically: the
+    conceptual round-trip "zoom down to N*s (nearest) then zoom back up
+    (interpolated)" expressed as one composed resampling, so the traced
+    scale never changes any array shape."""
+    N = x.shape[axis]
+    i = jnp.arange(N, dtype=jnp.float32)
+    jf = (i + 0.5) * s - 0.5  # position in the virtual low-res grid
+    j0 = jnp.floor(jf)
+    w = jf - j0
+
+    def src(j):
+        # nearest source voxel that the down-zoom would have kept
+        return jnp.clip(jnp.round((j + 0.5) / s - 0.5), 0, N - 1).astype(jnp.int32)
+
+    a = jnp.take(x, src(j0), axis=axis)
+    b = jnp.take(x, src(j0 + 1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = N
+    w = w.reshape(shape)
+    return a * (1 - w) + b * w
+
+
+def _simulate_lowres(img: jax.Array, rng: jax.Array, dummy_2d: bool) -> jax.Array:
+    """SimulateLowResolutionTransform semantics (data_processing.py:812-822):
+    per-channel scale in [0.5, 1) with p_per_channel=0.5, the same scale on
+    every spatial axis (synchronize_axes=True), z excluded under dummy_2d
+    (ignore_axes=(0,))."""
+    C = img.shape[-1]
+    k_s, k_on = jax.random.split(rng)
+    s = jax.random.uniform(k_s, (C,), minval=LOWRES_SCALE[0], maxval=LOWRES_SCALE[1])
+    chan_on = jax.random.uniform(k_on, (C,)) < 0.5
+
+    x = jnp.moveaxis(img, -1, 0)  # (C, *spatial)
+    skip_z = dummy_2d and img.ndim == 4
+
+    def one_channel(ch, sc):
+        for ax in range(ch.ndim):
+            if skip_z and ax == 0:
+                continue
+            ch = _axis_lowres(ch, sc, ax)
+        return ch
+
+    low = jax.vmap(one_channel)(x, s)
+    mask = chan_on.reshape((C,) + (1,) * (x.ndim - 1))
+    out = jnp.where(mask, low, x)
+    return jnp.moveaxis(out, 0, -1)
+
+
 def _blur5(img: jax.Array, sigma: jax.Array) -> jax.Array:
     """Separable 5-tap Gaussian blur over the trailing (Y, X) axes."""
     offsets = jnp.arange(-2, 3, dtype=jnp.float32)
@@ -127,8 +216,15 @@ def _blur5(img: jax.Array, sigma: jax.Array) -> jax.Array:
 
 
 def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Array:
-    """Augment one sample (Z, Y, X, C) or (Y, X, C)."""
-    keys = jax.random.split(rng, 16)
+    """Augment one sample (Z, Y, X, C) or (Y, X, C).
+
+    Computes in float32 (interpolation weights and intensity transforms) and
+    returns the caller's dtype — mixed-precision callers (the bf16 train
+    steps) would otherwise see silent fp32 promotion and dtype-mismatched
+    lax.cond branches."""
+    orig_dtype = img.dtype
+    img = img.astype(jnp.float32)
+    keys = jax.random.split(rng, 20)
     C = img.shape[-1]
 
     # ---- spatial: rotation about z + synchronized scaling, one resample
@@ -164,11 +260,31 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
         noise = jax.random.normal(keys[7], img.shape) * jnp.sqrt(var)
         img = jnp.where(on, img + noise, img)
 
+    # ---- elastic deformation (off by default, reference p_elastic_deform=0)
+    if cfg.elastic:
+        el_on = jax.random.uniform(keys[16]) < P_ELASTIC
+        img = jax.lax.cond(
+            el_on,
+            lambda x: _elastic_plane(x, keys[17]),
+            lambda x: x,
+            img,
+        )
+
     # ---- gaussian blur
     if cfg.gaussian_blur:
         on = jax.random.uniform(keys[8]) < P_BLUR
         sigma = jax.random.uniform(keys[9], minval=0.5, maxval=1.0)
         img = jnp.where(on, _blur5(img, sigma), img)
+
+    # ---- simulated low resolution
+    if cfg.low_resolution:
+        lr_on = jax.random.uniform(keys[18]) < P_LOWRES
+        img = jax.lax.cond(
+            lr_on,
+            lambda x: _simulate_lowres(x, keys[19], cfg.dummy_2d),
+            lambda x: x,
+            img,
+        )
 
     # ---- brightness (multiplicative, per channel)
     if cfg.brightness:
@@ -208,7 +324,7 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
         gammaed = (gammaed - gmean) / gstd * std + mean
         img = jnp.where(on, gammaed, img)
 
-    return jnp.clip(img, 0.0, 1.0)  # final clamp (reference :595)
+    return jnp.clip(img, 0.0, 1.0).astype(orig_dtype)  # final clamp (reference :595)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -45,6 +45,14 @@ TRAIN_STEPS_PER_EPOCH = 250  # reference data_processing.py:140
 VAL_STEPS_PER_EPOCH = 50  # reference data_processing.py:141
 
 
+def unpack_batch(batch):
+    """(images, class_labels_or_None) from a loader batch — class-conditional
+    loaders yield ``{"image", "class"}`` dicts, plain loaders bare arrays."""
+    if isinstance(batch, dict):
+        return batch["image"], batch.get("class")
+    return batch, None
+
+
 class PatchDataset:
     """Random patch extraction from preprocessed VolStore volumes."""
 
@@ -59,10 +67,17 @@ class PatchDataset:
         channel_ids: Optional[Sequence[int]] = None,
         include_labels: bool = False,
         n_classes: int = 1,
+        class_map: Optional[Dict[str, int]] = None,
     ):
         """include_labels: stack the segmentation (scaled to [0,1] by
         n_classes) as an extra trailing channel — enables joint image+label
-        synthesis (BASELINE.json config #5)."""
+        synthesis (BASELINE.json config #5).
+
+        class_map: optional patient-id -> class-index mapping; when set,
+        batches become ``{"image": ..., "class": int32 (B,)}`` for
+        class-conditional training with classifier-free guidance (a
+        capability beyond the reference, which carries class embeddings in
+        its UNet fork but never feeds them)."""
         assert section in ("training", "validation")
         self.data_path = data_path
         self.ids = list(data_ids)
@@ -72,6 +87,14 @@ class PatchDataset:
         self.channel_ids = list(channel_ids) if channel_ids is not None else None
         self.include_labels = include_labels
         self.n_classes = max(1, int(n_classes))
+        self.class_map = dict(class_map) if class_map else None
+        if self.class_map is not None:
+            missing = [i for i in self.ids if i not in self.class_map]
+            if missing:
+                raise KeyError(
+                    f"class_map missing {len(missing)} patient ids "
+                    f"(e.g. {missing[:3]})"
+                )
 
         # 2D patches ride as pseudo-3D with z=1 (reference :297-300)
         self.is_2d = len(patch_size) == 2
@@ -203,34 +226,60 @@ class PrefetchLoader:
     def __len__(self) -> int:
         return self.number_of_steps
 
-    def _build_batch(self, sample_indices: List[int], base_seed: int) -> np.ndarray:
+    def _build_batch(self, sample_indices: List[int], base_seed: int):
         def one(args):
             pos, idx = args
             rng = np.random.default_rng((base_seed, pos, idx))
             return self.dataset.sample_patch(pos, idx, rng)
 
         patches = list(self._pool.map(one, enumerate(sample_indices)))
-        return np.stack(patches, axis=0)
+        images = np.stack(patches, axis=0)
+        if self.dataset.class_map is not None:
+            labels = np.asarray(
+                [self.dataset.class_map[self.dataset.ids[i]] for i in sample_indices],
+                np.int32,
+            )
+            return {"image": images, "class": labels}
+        return images
 
     def __iter__(self) -> Iterator[np.ndarray]:
         batches = self.scheduler.epoch_batches()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned iterator (e.g. probe_latent's next(iter(loader)))
+            # doesn't leak a thread blocked on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for i, b in enumerate(batches):
+            for b in batches:
+                if stop.is_set():
+                    return
                 self._seed_counter += 1
-                q.put(self._build_batch(b, self._seed_counter))
-            q.put(sentinel)
+                if not put(self._build_batch(b, self._seed_counter)):
+                    return
+            put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
 
 
 def get_data_loaders(
@@ -245,9 +294,15 @@ def get_data_loaders(
     num_threads: Optional[int] = None,
     train_steps: int = TRAIN_STEPS_PER_EPOCH,
     val_steps: int = VAL_STEPS_PER_EPOCH,
+    data_parallel: int = 1,
 ) -> Tuple[PrefetchLoader, PrefetchLoader]:
     """Train/val loaders over a preprocessed dataset (reference
-    data_processing.py:115-145)."""
+    data_processing.py:115-145).
+
+    ``batch_size`` is per-chip (the reference's per-GPU semantics,
+    configuration.py:927-929); ``data_parallel`` — the mesh 'data' axis
+    size — scales it to the global batch so every sample in a sharded step
+    is an independent draw (no duplicate tiling)."""
     split_path = create_split_files(dataset_id, splitting, preprocessed_root=preprocessed_root)
     ids = get_data_ids(split_path, fold)
     ds_path = resolve_preprocessed_path(dataset_id, preprocessed_root)
@@ -269,14 +324,33 @@ def get_data_loaders(
     if model_type == "2d" and len(patch_size) == 3:
         patch_size = patch_size[-2:]
 
+    # class-conditional training (classifier-free guidance): a JSON mapping
+    # patient id -> class index, given inline or as a file path (resolved
+    # relative to the preprocessed dataset dir)
+    class_map = None
+    cc = config.get("class_conditioning")
+    if cc:
+        label_map = cc.get("label_map")
+        if isinstance(label_map, str):
+            lm_path = label_map if os.path.isabs(label_map) else os.path.join(
+                ds_path, label_map
+            )
+            import json
+
+            with open(lm_path) as f:
+                label_map = json.load(f)
+        class_map = {k: int(v) for k, v in (label_map or {}).items()}
+
+    global_batch = int(batch_size) * max(1, int(data_parallel))
     common = dict(
         data_path=images_path,
-        batch_size=batch_size,
+        batch_size=global_batch,
         patch_size=patch_size,
         oversample_ratio=config.get("oversample_ratio", 0.33),
         channel_ids=config.get("input_channels"),
         include_labels=bool(config.get("include_labels", False)),
         n_classes=int(config.get("n_classes", 1)),
+        class_map=class_map,
     )
     train_ds = PatchDataset(data_ids=ids["train"], section="training", **common)
     val_ds = PatchDataset(data_ids=ids["val"], section="validation", **common)

@@ -199,6 +199,7 @@ def create_config_dict(
         "gamma": True,
         "mirror": True,
         "dummy_2d": False,
+        "elastic": False,  # reference CLI switch (configuration.py:70), off by default
     }
     ddpm_transformations = dict(ae_transformations, rotation=False)
 

@@ -149,6 +149,34 @@ class TestLoader:
         assert len(batches) == 5
         assert all(b.shape == (3, 4, 16, 16, 1) for b in batches)
 
+    def test_prefetch_loader_abandoned_iterator_stops_producer(
+        self, preprocessed_dataset
+    ):
+        # probe_latent does next(iter(loader)) and abandons the generator;
+        # the producer thread must terminate instead of blocking on q.put
+        import threading
+        import time
+
+        root, dsid = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ds = PatchDataset(images, [f"p{i:03d}" for i in range(6)], batch_size=2,
+                          patch_size=(4, 16, 16))
+        loader = PrefetchLoader(ds, number_of_steps=50, num_threads=2,
+                                prefetch_depth=1)
+        it0 = iter(loader)
+        next(it0)
+        it0.close()
+        # the executor's worker threads persist by design; baseline with
+        # them warm so only a leaked producer thread can raise the count
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # triggers GeneratorExit -> finally -> stop/join
+        deadline = time.time() + 10
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
     def test_get_data_loaders(self, preprocessed_dataset):
         root, dsid = preprocessed_dataset
         config = {"oversample_ratio": 0.33, "input_channels": [0], "num_workers": 2}
@@ -190,6 +218,71 @@ class TestAugment:
         batch = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 1))
         out = augment_batch(batch, jax.random.PRNGKey(1), cfg)
         np.testing.assert_allclose(np.asarray(out), np.asarray(batch), atol=1e-6)
+
+    @staticmethod
+    def _off():
+        return AugmentConfig(rotation=False, scaling=False, mirror=False,
+                             brightness=False, contrast=False, gamma=False)
+
+    def test_low_resolution_changes_output(self):
+        # the switch must actually do something when enabled (it was a
+        # silent no-op in round 1)
+        cfg_off = self._off()
+        cfg_on = cfg_off._replace(low_resolution=True)
+        ramp = jnp.tile(
+            jnp.linspace(0, 1, 32)[None, :, None, None], (32, 1, 32, 1)
+        )[None]  # (1, 32, 32, 32, 1) smooth in y
+        batch = jnp.tile(ramp, (16, 1, 1, 1, 1))
+        key = jax.random.PRNGKey(3)
+        out_off = augment_batch(batch, key, cfg_off)
+        out_on = augment_batch(batch, key, cfg_on)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(batch), atol=1e-6)
+        assert float(jnp.abs(out_on - batch).max()) > 1e-4
+
+    def test_low_resolution_dummy_2d_excludes_z(self):
+        # volume varying ONLY along z: in-plane-only low-res (dummy_2d)
+        # leaves it untouched; full 3D low-res degrades it
+        cfg3d = self._off()._replace(low_resolution=True)
+        cfg2d = cfg3d._replace(dummy_2d=True)
+        # alternating z pattern: any z-axis downsampling destroys it, while
+        # it is constant in-plane so in-plane-only low-res is the identity
+        zpat = (jnp.arange(32) % 2).astype(jnp.float32)[:, None, None, None]
+        batch = jnp.tile(jnp.tile(zpat, (1, 8, 8, 1))[None], (16, 1, 1, 1, 1))
+        key = jax.random.PRNGKey(0)
+        out_3d = augment_batch(batch, key, cfg3d)
+        out_2d = augment_batch(batch, key, cfg2d)
+        np.testing.assert_allclose(np.asarray(out_2d), np.asarray(batch), atol=1e-5)
+        assert float(jnp.abs(out_3d - batch).max()) > 1e-4
+
+    def test_elastic_changes_output(self):
+        cfg_off = self._off()
+        cfg_on = cfg_off._replace(elastic=True)
+        ramp = jnp.tile(jnp.linspace(0, 1, 32)[:, None, None], (1, 32, 1))[None]
+        batch = jnp.tile(ramp, (32, 1, 1, 1))  # (32, 32, 32, 1) 2D
+        key = jax.random.PRNGKey(11)
+        out_off = augment_batch(batch, key, cfg_off)
+        out_on = augment_batch(batch, key, cfg_on)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(batch), atol=1e-6)
+        assert float(jnp.abs(out_on - batch).max()) > 1e-4
+
+    def test_every_planner_switch_is_honored(self):
+        """Every key the planner writes into ae_transformations must map to
+        an AugmentConfig field (no silently-ignored switches)."""
+        from medical_image_generation_tpu.planning.planner import (
+            create_autoencoder_dict,
+            create_config_dict,
+            create_ddpm_dict,
+        )
+
+        ds = {"median_shape": (16, 48, 48), "min_shape": (12, 40, 40),
+              "max_shape": (20, 56, 56)}
+        vae = create_autoencoder_dict(ds, [0], spatial_dims=3)
+        ddpm = create_ddpm_dict(ds, spatial_dims=3)
+        cfg = create_config_dict(ds, [0], 1, vae, ddpm)
+        keys = set(cfg["ae_transformations"]) - {"patch_size"}
+        assert keys <= set(AugmentConfig._fields), (
+            keys - set(AugmentConfig._fields)
+        )
 
     def test_rotation_moves_pixels(self):
         # force rotation by sampling many rngs; at least one should rotate
