@@ -101,3 +101,63 @@ def ms_ssim(
             x, y = _downsample2(x), _downsample2(y)
     vals = jnp.stack(vals, axis=0)  # (scales, B)
     return jnp.exp(jnp.sum(w[:, None] * jnp.log(vals), axis=0))
+
+
+def pairwise_metrics(
+    images,
+    win_size: int = 4,
+    pairs_per_chunk: int = 0,
+) -> dict:
+    """All-C(n,2)-pairs SSIM and MS-SSIM over a sample set — the reference's
+    generative-diversity protocol (train_ldm.py:315-321: every pair of the
+    n sampled images, kernel_size=4) — computed as chunked jitted batches
+    instead of one host dispatch per pair.
+
+    images: (n, *spatial, C) array-like. Returns mean/std for both metrics.
+    """
+    from itertools import combinations
+
+    import numpy as np
+
+    imgs = jnp.asarray(images, jnp.float32)
+    n = imgs.shape[0]
+    idx = np.asarray(list(combinations(range(n), 2)), np.int32)
+    n_pairs = len(idx)
+    if n_pairs == 0:
+        nan = float("nan")
+        return {"ssim_mean": nan, "ssim_std": nan,
+                "ms_ssim_mean": nan, "ms_ssim_std": nan, "n_pairs": 0}
+
+    if pairs_per_chunk <= 0:
+        # budget ~64M float32 elements of gathered pairs per chunk
+        per_pair = 2 * int(np.prod(imgs.shape[1:]))
+        pairs_per_chunk = max(1, min(n_pairs, (64 << 20) // max(per_pair, 1)))
+
+    @partial(jax.jit, static_argnames=())
+    def chunk_metrics(imgs, ia, ib):
+        a = jnp.take(imgs, ia, axis=0)
+        b = jnp.take(imgs, ib, axis=0)
+        return (
+            ssim(a, b, win_size=win_size),
+            ms_ssim(a, b, win_size=win_size),
+        )
+
+    ssim_vals, ms_vals = [], []
+    # fixed chunk shape (pad the tail) => a single compiled program
+    padded = np.concatenate(
+        [idx, np.repeat(idx[-1:], (-len(idx)) % pairs_per_chunk, axis=0)]
+    )
+    for start in range(0, len(padded), pairs_per_chunk):
+        sl = padded[start : start + pairs_per_chunk]
+        s, m = chunk_metrics(imgs, jnp.asarray(sl[:, 0]), jnp.asarray(sl[:, 1]))
+        ssim_vals.append(np.asarray(s))
+        ms_vals.append(np.asarray(m))
+    ssim_all = np.concatenate(ssim_vals)[:n_pairs]
+    ms_all = np.concatenate(ms_vals)[:n_pairs]
+    return {
+        "ssim_mean": float(ssim_all.mean()),
+        "ssim_std": float(ssim_all.std()),
+        "ms_ssim_mean": float(ms_all.mean()),
+        "ms_ssim_std": float(ms_all.std()),
+        "n_pairs": int(n_pairs),
+    }

@@ -28,6 +28,32 @@ def _on_tpu() -> bool:
         return False
 
 
+def _ring_min_seq() -> int:
+    """Token count above which sequence-parallel ring attention pays off:
+    one chip handles the flagship 32^3-latent grids comfortably, so the
+    ring engages only for >32^3 latents (CLAUDE.md roadmap)."""
+    return int(os.environ.get("MEDIMGEN_RING_MIN_SEQ", 32768))
+
+
+def _active_model_mesh():
+    """The mesh installed by a trainer's ``with self.mesh:`` scope, when its
+    'model' axis is wide enough for sequence sharding."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+    if (
+        m is not None
+        and not m.empty
+        and "model" in m.axis_names
+        and m.shape["model"] > 1
+    ):
+        return m
+    return None
+
+
 def _use_pallas(q_shape, dtype) -> bool:
     if os.environ.get("MEDIMGEN_DISABLE_PALLAS_ATTN"):
         return False
@@ -51,6 +77,19 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    # sequence-parallel ring attention for very long token grids when the
+    # active mesh has a 'model' axis to shard them over (SURVEY.md §5
+    # long-context row — a capability the reference lacks entirely)
+    mesh = _active_model_mesh()
+    if (
+        mesh is not None
+        and q.shape[1] >= _ring_min_seq()
+        and q.shape[1] % mesh.shape["model"] == 0
+        and q.shape == k.shape == v.shape
+    ):
+        from medical_image_generation_tpu.ops.ring_attention import ring_attention
+
+        return ring_attention(q, k, v, mesh, axis_name="model", scale=float(scale))
     if _use_pallas(q.shape, q.dtype):
         try:
             from medical_image_generation_tpu.ops.pallas_attention import flash_attention

@@ -23,6 +23,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bootstrap for TPU pods (SURVEY.md §2.26): call once from a
+    CLI main before any device use. No-op unless a coordinator is configured
+    (JAX_COORDINATOR_ADDRESS / MEDIMGEN_COORDINATOR_ADDRESS env), so
+    single-host runs are untouched. After this, jax.process_count() > 1 and
+    the loaders shard their patient lists per host (data/loader.py)."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEDIMGEN_COORDINATOR_ADDRESS"
+    )
+    if not addr:
+        return
+    if jax.process_count() > 1:  # already initialized
+        return
+    jax.distributed.initialize()  # reads coordinator/num_processes/id from env
+    print(
+        f"jax.distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {len(jax.local_devices())} local devices"
+    )
+
+
 def get_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
@@ -65,9 +87,13 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_sharding(mesh))
 
 
-def pad_batch_to_devices(batch: np.ndarray, mesh: Mesh) -> np.ndarray:
+def pad_batch_to_devices(batch, mesh: Mesh) -> np.ndarray:
     """Round the batch up to a multiple of the data-axis size by repeating
-    the last samples (keeps shapes static for jit on any mesh)."""
+    the last samples (keeps shapes static for jit on any mesh). Dict batches
+    (class-conditional loaders) are padded leaf-wise."""
+    if isinstance(batch, dict):
+        return {k: pad_batch_to_devices(v, mesh) for k, v in batch.items()}
+    batch = np.asarray(batch)
     n_data = mesh.shape["data"]
     b = batch.shape[0]
     if b % n_data == 0:

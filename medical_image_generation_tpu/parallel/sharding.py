@@ -90,3 +90,38 @@ def apply_tp_sharding(params: Any, mesh: Mesh):
     """Place a param tree onto the mesh with the TP layout."""
     shardings = unet_param_shardings(params, mesh)
     return jax.device_put(params, shardings), shardings
+
+
+def train_state_shardings(state: Any, mesh: Mesh, param_shardings: Any):
+    """Sharding pytree matching a TrainState: every sub-pytree that has the
+    params' tree structure (params, EMA copy, adam mu/nu inside opt_state)
+    gets the TP layout; all other leaves (step counters, schedules) are
+    replicated."""
+    rep = NamedSharding(mesh, P())
+    ptd = jax.tree_util.tree_structure(param_shardings)
+
+    def is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == ptd
+        except Exception:  # pragma: no cover - non-pytree leaf
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda node: param_shardings if is_param_tree(node) else rep,
+        state,
+        is_leaf=is_param_tree,
+    )
+
+
+def place_train_state(state: Any, mesh: Mesh):
+    """Place a TrainState onto the mesh: TP layout when the 'model' axis is
+    >1 (params + matching optimizer moments), plain replication otherwise.
+    Returns (state, shardings)."""
+    if mesh.shape.get("model", 1) > 1:
+        param_sh = unet_param_shardings(state.params, mesh)
+    else:
+        param_sh = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), state.params
+        )
+    sh = train_state_shardings(state, mesh, param_sh)
+    return jax.device_put(state, sh), sh

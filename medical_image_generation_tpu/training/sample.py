@@ -33,6 +33,12 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", choices=["best", "last"], default="best")
     p.add_argument("-l", "--latent_space_type", default="vae", choices=["vae", "vq"])
+    p.add_argument("--class_label", type=int, default=None,
+                   help="class index for class-conditional models "
+                        "(classifier-free guided sampling)")
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="CFG scale g: eps_null + g*(eps_class - eps_null); "
+                        "defaults to the config's guidance_scale")
     return p
 
 
@@ -86,6 +92,7 @@ def main_ldm():
     images = trainer.sample_images(
         state, args.n_samples, jax.random.PRNGKey(args.seed),
         sampler=args.sampler, num_inference_steps=args.num_inference_steps,
+        class_label=args.class_label, guidance_scale=args.guidance_scale,
     )
     out = args.output_dir or os.path.join(run_dir, "samples")
     _write_outputs(images, out, args.model_type, "ldm_sample")
@@ -108,6 +115,7 @@ def main_ddpm():
     images = trainer.sample_images(
         state, args.n_samples, jax.random.PRNGKey(args.seed),
         sampler=args.sampler, num_inference_steps=args.num_inference_steps,
+        class_label=args.class_label, guidance_scale=args.guidance_scale,
     )
     out = args.output_dir or os.path.join(run_dir, "samples")
     _write_outputs(images, out, args.model_type, "ddpm_sample")

@@ -36,7 +36,7 @@ from medical_image_generation_tpu.config.run import (
     print_configuration,
 )
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
-from medical_image_generation_tpu.data.loader import get_data_loaders
+from medical_image_generation_tpu.data.loader import get_data_loaders, unpack_batch
 from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
 from medical_image_generation_tpu.models.discriminator import (
     PatchDiscriminator,
@@ -47,9 +47,11 @@ from medical_image_generation_tpu.models.vqvae import VQVAE
 from medical_image_generation_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    maybe_initialize_distributed,
     pad_batch_to_devices,
     replicated_sharding,
 )
+from medical_image_generation_tpu.parallel.sharding import place_train_state
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import plots
@@ -72,7 +74,9 @@ class AutoEncoderTrainer:
         self.config = config
         self.latent_space_type = latent_space_type
         self.dtype = dtype
-        self.mesh = mesh if mesh is not None else get_mesh()
+        self.mesh = mesh if mesh is not None else get_mesh(
+            model_parallel=int(config.get("model_parallel", 1))
+        )
         self.seed = seed
 
         if latent_space_type == "vae":
@@ -156,10 +160,11 @@ class AutoEncoderTrainer:
             f"Autoencoder parameters: {count_params(g_state.params):,} | "
             f"Discriminator parameters: {count_params(d_state.params):,}"
         )
-        # replicate across mesh
-        rep = replicated_sharding(self.mesh)
-        g_state = jax.device_put(g_state, rep)
-        d_state = jax.device_put(d_state, rep)
+        # TP layout for the generator when the 'model' axis is >1
+        # (replication otherwise); discriminator params are always
+        # replicated (no matching Megatron patterns)
+        g_state, self._g_sh = place_train_state(g_state, self.mesh)
+        d_state = jax.device_put(d_state, replicated_sharding(self.mesh))
         return g_state, d_state
 
     # ------------------------------------------------------------- train step
@@ -247,6 +252,7 @@ class AutoEncoderTrainer:
 
         total, n = 0.0, 0
         for i, batch in enumerate(val_loader):
+            batch = unpack_batch(batch)[0]  # AE ignores class labels
             batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
             total += float(kl_of(g_state.params, batch, jax.random.PRNGKey(i)))
             n += 1
@@ -256,11 +262,12 @@ class AutoEncoderTrainer:
         print(f"KL loss weight set to: {self.kl_weight}")
 
     def train(self, train_loader, val_loader) -> None:
-        with profile_trace(self.config.get("profile_dir")):
+        # active mesh enables ring-attention dispatch (ops/attention.py)
+        with profile_trace(self.config.get("profile_dir")), self.mesh:
             self._train_impl(train_loader, val_loader)
 
     def _train_impl(self, train_loader, val_loader) -> None:
-        sample = next(iter(val_loader))
+        sample = unpack_batch(next(iter(val_loader)))[0]
         g_state, d_state = self._build_states(sample)
         val_step = self._make_val_step()
         bsh = batch_sharding(self.mesh)
@@ -286,6 +293,7 @@ class AutoEncoderTrainer:
                 train_loader, show_bar, total=len(train_loader),
                 desc=f"Epoch {epoch + 1}",
             ):
+                batch = unpack_batch(batch)[0]
                 batch = jax.device_put(
                     pad_batch_to_devices(batch, self.mesh), bsh
                 )
@@ -303,6 +311,7 @@ class AutoEncoderTrainer:
             val_losses = []
             last_pair: Optional[Tuple[np.ndarray, np.ndarray]] = None
             for batch in val_loader:
+                batch = unpack_batch(batch)[0]
                 batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
                 loss, recon = val_step(g_state, batch)
                 val_losses.append(float(loss))
@@ -396,8 +405,8 @@ class AutoEncoderTrainer:
         if prior:
             self.loss_dict = prior
         print(f"Resumed from {path} at epoch {self.start_epoch}")
-        rep = replicated_sharding(self.mesh)
-        return jax.device_put(g_state, rep), jax.device_put(d_state, rep)
+        g_state, self._g_sh = place_train_state(g_state, self.mesh)
+        return g_state, jax.device_put(d_state, replicated_sharding(self.mesh))
 
 
 def len_or(value, default):
@@ -432,6 +441,7 @@ def parse_arguments():
 
 
 def main():
+    maybe_initialize_distributed()
     args = parse_arguments()
     config = get_config_for_current_task(
         args.dataset_id, args.model_type, "autoencoder",
@@ -441,11 +451,12 @@ def main():
     config["latent_space_type"] = args.latent_space_type
     config = filter_config_by_mode(config, "train_autoencoder")
     print_configuration(config, config["results_path"], "train", model="autoencoder")
+    trainer = AutoEncoderTrainer(config, latent_space_type=args.latent_space_type)
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ae_batch_size"],
         args.model_type, config["ae_transformations"], args.fold,
+        data_parallel=trainer.mesh.shape["data"],
     )
-    trainer = AutoEncoderTrainer(config, latent_space_type=args.latent_space_type)
     trainer.train(train_loader, val_loader)
 
 

@@ -28,7 +28,7 @@ from medical_image_generation_tpu.config.run import (
     print_configuration,
 )
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
-from medical_image_generation_tpu.data.loader import get_data_loaders
+from medical_image_generation_tpu.data.loader import get_data_loaders, unpack_batch
 from medical_image_generation_tpu.diffusion.sampler import (
     SegmentedDDPMSampler,
     ddim_sample,
@@ -38,9 +38,10 @@ from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
 from medical_image_generation_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    maybe_initialize_distributed,
     pad_batch_to_devices,
-    replicated_sharding,
 )
+from medical_image_generation_tpu.parallel.sharding import place_train_state
 from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import plots
@@ -58,7 +59,9 @@ class DDPMTrainer:
     def __init__(self, config: Dict, dtype=jnp.bfloat16, mesh=None, seed: int = 0):
         self.config = config
         self.dtype = dtype
-        self.mesh = mesh if mesh is not None else get_mesh()
+        self.mesh = mesh if mesh is not None else get_mesh(
+            model_parallel=int(config.get("model_parallel", 1))
+        )
         self.seed = seed
 
         ddpm_params = dict(config["ddpm_params"])
@@ -66,6 +69,13 @@ class DDPMTrainer:
         n_ch = len(config.get("input_channels", [0]))
         ddpm_params["in_channels"] = n_ch
         ddpm_params["out_channels"] = n_ch
+        # classifier-free guidance (see LDMTrainer for the config contract)
+        self.class_cond = config.get("class_conditioning") or None
+        if self.class_cond:
+            self.num_classes = int(self.class_cond["num_classes"])
+            self.cfg_dropout = float(self.class_cond.get("dropout_prob", 0.1))
+            self.guidance_scale = float(self.class_cond.get("guidance_scale", 2.0))
+            ddpm_params["num_class_embeds"] = self.num_classes + 1
         self.spatial_dims = ddpm_params["spatial_dims"]
         self.unet = DiffusionUNet.from_config(ddpm_params, dtype=dtype)
         self.schedule = NoiseSchedule.from_config(config["time_scheduler_params"])
@@ -87,18 +97,26 @@ class DDPMTrainer:
         self.start_epoch = 0
         self.best_val = float("inf")
 
-    def _build_state(self):
+    def _build_state(self, steps_per_epoch: int = 250):
         rng = jax.random.PRNGKey(self.seed)
         x = jnp.zeros((1,) + self.image_shape, jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        variables = self.unet.init(rng, x, t)
+        if self.class_cond:
+            variables = self.unet.init(
+                rng, x, t, class_labels=jnp.zeros((1,), jnp.int32)
+            )
+        else:
+            variables = self.unet.init(rng, x, t)
         sched = common.make_lr_schedule(
             float(self.config.get("ddpm_learning_rate", 2e-5)),
             self.config.get("lr_scheduler"),
             self.config.get("lr_scheduler_params"),
-            250,
+            steps_per_epoch,
         )
-        tx = common.make_optimizer(sched, self.clip, self.grad_accum, weight_decay=1e-2)
+        tx = common.make_optimizer(
+            sched, self.clip, self.grad_accum, weight_decay=1e-2,
+            mu_dtype=common.mu_dtype_from_config(self.config),
+        )
         if self.ema_decay:
             state = common.EMATrainState.create(
                 apply_fn=self.unet.apply, params=variables["params"], tx=tx,
@@ -111,21 +129,34 @@ class DDPMTrainer:
                 apply_fn=self.unet.apply, params=variables["params"], tx=tx
             )
         print(f"Diffusion U-Net parameters: {count_params(state.params):,}")
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        state, self._state_sh = place_train_state(state, self.mesh)
+        return state
+
+    def _dropout_labels(self, labels, rng):
+        drop = jax.random.uniform(rng, labels.shape) < self.cfg_dropout
+        return jnp.where(drop, jnp.int32(self.num_classes), labels)
 
     def _make_train_step(self):
         T = self.schedule.num_train_timesteps
 
         def step(state, batch, rng):
-            aug_rng, t_rng, n_rng = jax.random.split(rng, 3)
-            batch = augment_batch(batch, aug_rng, self.aug_cfg).astype(jnp.float32)
-            t = jax.random.randint(t_rng, (batch.shape[0],), 0, T)
-            noise = jax.random.normal(n_rng, batch.shape, jnp.float32)
-            noisy = self.schedule.add_noise(batch, noise, t)
-            target = self.schedule.training_target(batch, noise, t)
+            imgs, labels = unpack_batch(batch)
+            aug_rng, t_rng, n_rng, d_rng = jax.random.split(rng, 4)
+            imgs = augment_batch(imgs, aug_rng, self.aug_cfg).astype(jnp.float32)
+            t = jax.random.randint(t_rng, (imgs.shape[0],), 0, T)
+            noise = jax.random.normal(n_rng, imgs.shape, jnp.float32)
+            noisy = self.schedule.add_noise(imgs, noise, t)
+            target = self.schedule.training_target(imgs, noise, t)
+            if labels is not None:
+                labels_in = self._dropout_labels(labels, d_rng)
 
             def loss_fn(params):
-                pred = self.unet.apply({"params": params}, noisy, t)
+                if labels is not None:
+                    pred = self.unet.apply(
+                        {"params": params}, noisy, t, class_labels=labels_in
+                    )
+                else:
+                    pred = self.unet.apply({"params": params}, noisy, t)
                 return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -140,13 +171,19 @@ class DDPMTrainer:
         T = self.schedule.num_train_timesteps
 
         def step(state, batch, rng):
+            imgs, labels = unpack_batch(batch)
             t_rng, n_rng = jax.random.split(rng)
-            batch = batch.astype(jnp.float32)
-            t = jax.random.randint(t_rng, (batch.shape[0],), 0, T)
-            noise = jax.random.normal(n_rng, batch.shape, jnp.float32)
-            noisy = self.schedule.add_noise(batch, noise, t)
-            target = self.schedule.training_target(batch, noise, t)
-            pred = self.unet.apply({"params": state.params}, noisy, t)
+            imgs = imgs.astype(jnp.float32)
+            t = jax.random.randint(t_rng, (imgs.shape[0],), 0, T)
+            noise = jax.random.normal(n_rng, imgs.shape, jnp.float32)
+            noisy = self.schedule.add_noise(imgs, noise, t)
+            target = self.schedule.training_target(imgs, noise, t)
+            if labels is not None:
+                pred = self.unet.apply(
+                    {"params": state.params}, noisy, t, class_labels=labels
+                )
+            else:
+                pred = self.unet.apply({"params": state.params}, noisy, t)
             return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
         return jax.jit(step)
@@ -157,31 +194,60 @@ class DDPMTrainer:
         return ema if ema is not None else state.params
 
     def sample_images(self, state, n_samples, rng, sampler="ddpm",
-                      num_inference_steps: Optional[int] = None) -> np.ndarray:
+                      num_inference_steps: Optional[int] = None,
+                      class_label=None, guidance_scale: Optional[float] = None,
+                      ) -> np.ndarray:
+        """Class-conditional models sample with classifier-free guidance when
+        ``class_label`` is given (see LDMTrainer.sample_images)."""
         shape = (n_samples,) + self.image_shape
 
         sampling_params = self._sampling_params(state)
-        if sampler == "ddim":
-            def model_fn(x, t):
-                return self.unet.apply({"params": sampling_params}, x, t)
-
-            z = ddim_sample(self.schedule, model_fn, shape, rng,
-                            num_inference_steps=num_inference_steps or 50)
-        else:
-            if not hasattr(self, "_ddpm_sampler"):
-                self._ddpm_sampler = SegmentedDDPMSampler(
-                    self.schedule,
-                    lambda params, x, t: self.unet.apply({"params": params}, x, t),
+        labels = None
+        g = 1.0
+        if self.class_cond:
+            if class_label is None:
+                labels = jnp.full((n_samples,), self.num_classes, jnp.int32)
+            else:
+                labels = jnp.asarray(
+                    np.broadcast_to(np.asarray(class_label, np.int32), (n_samples,))
                 )
-            z = self._ddpm_sampler(sampling_params, shape, rng)
+                g = float(self.guidance_scale if guidance_scale is None
+                          else guidance_scale)
+
+        def apply_model(params_labels, x, t):
+            params, lab = params_labels
+            if lab is None:
+                return self.unet.apply({"params": params}, x, t)
+            e_c = self.unet.apply({"params": params}, x, t, class_labels=lab)
+            if g == 1.0:
+                return e_c
+            null = jnp.full_like(lab, self.num_classes)
+            e_u = self.unet.apply({"params": params}, x, t, class_labels=null)
+            return e_u + g * (e_c - e_u)
+
+        bundle = (sampling_params, labels)
+        if sampler == "ddim":
+            z = ddim_sample(
+                self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
+                num_inference_steps=num_inference_steps or 50,
+            )
+        else:
+            key = ("plain",) if labels is None else ("guided", g)
+            samplers = getattr(self, "_ddpm_samplers", None)
+            if samplers is None:
+                samplers = self._ddpm_samplers = {}
+            if key not in samplers:
+                samplers[key] = SegmentedDDPMSampler(self.schedule, apply_model)
+            z = samplers[key](bundle, shape, rng)
         return np.asarray(jnp.clip(z, 0.0, 1.0))
 
     def train(self, train_loader, val_loader) -> None:
-        with profile_trace(self.config.get("profile_dir")):
+        # active mesh enables ring-attention dispatch (ops/attention.py)
+        with profile_trace(self.config.get("profile_dir")), self.mesh:
             self._train_impl(train_loader, val_loader)
 
     def _train_impl(self, train_loader, val_loader) -> None:
-        state = self._build_state()
+        state = self._build_state(steps_per_epoch=len(train_loader))
         train_step = self._make_train_step()
         val_step = self._make_val_step()
         bsh = batch_sharding(self.mesh)
@@ -291,7 +357,8 @@ class DDPMTrainer:
         if prior:
             self.loss_dict = prior
         print(f"Resumed from {path} at epoch {self.start_epoch}")
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        state, self._state_sh = place_train_state(state, self.mesh)
+        return state
 
 
 def parse_arguments():
@@ -314,6 +381,7 @@ def parse_arguments():
 
 
 def main():
+    maybe_initialize_distributed()
     args = parse_arguments()
     config = get_config_for_current_task(
         args.dataset_id, args.model_type, "ddpm",
@@ -322,11 +390,12 @@ def main():
     config = apply_overrides(config, args.overrides)
     config = filter_config_by_mode(config, "train_ddpm")
     print_configuration(config, config["results_path"], "train", model="ddpm")
+    trainer = DDPMTrainer(config)
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ddpm_batch_size"],
         args.model_type, config["ddpm_transformations"], args.fold,
+        data_parallel=trainer.mesh.shape["data"],
     )
-    trainer = DDPMTrainer(config)
     trainer.train(train_loader, val_loader)
 
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from itertools import combinations
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ from medical_image_generation_tpu.config.run import (
     print_configuration,
 )
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
-from medical_image_generation_tpu.data.loader import get_data_loaders
+from medical_image_generation_tpu.data.loader import get_data_loaders, unpack_batch
 from medical_image_generation_tpu.diffusion.sampler import (
     SegmentedDDPMSampler,
     ddim_sample,
@@ -42,16 +41,17 @@ from medical_image_generation_tpu.diffusion.sampler import (
 from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
 from medical_image_generation_tpu.eval.fid import fid_from_features
 from medical_image_generation_tpu.eval.features import FeatureExtractor
-from medical_image_generation_tpu.eval.ssim import ms_ssim, ssim
+from medical_image_generation_tpu.eval.ssim import pairwise_metrics
 from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
 from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
 from medical_image_generation_tpu.models.vqvae import VQVAE
 from medical_image_generation_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    maybe_initialize_distributed,
     pad_batch_to_devices,
-    replicated_sharding,
 )
+from medical_image_generation_tpu.parallel.sharding import place_train_state
 from medical_image_generation_tpu.training import checkpoints as ckpt
 from medical_image_generation_tpu.training import common
 from medical_image_generation_tpu.training import plots
@@ -71,7 +71,9 @@ class LDMTrainer:
         self.config = config
         self.latent_space_type = latent_space_type
         self.dtype = dtype
-        self.mesh = mesh if mesh is not None else get_mesh()
+        self.mesh = mesh if mesh is not None else get_mesh(
+            model_parallel=int(config.get("model_parallel", 1))
+        )
         self.seed = seed
 
         # frozen stage-1 autoencoder from its best checkpoint
@@ -89,7 +91,21 @@ class LDMTrainer:
         self.ae_params = jax.tree_util.tree_map(jnp.asarray, payload["g_params"])
         print(f"Autoencoder epoch: {payload.get('epoch')}")
 
-        self.unet = DiffusionUNet.from_config(config["ddpm_params"], dtype=dtype)
+        # classifier-free guidance (capability beyond the reference — its
+        # UNet fork carries class embeddings but no trainer ever feeds them):
+        # label-dropout training + guided sampling. Config:
+        #   class_conditioning: {num_classes, label_map (json path or dict),
+        #                        dropout_prob=0.1, guidance_scale=2.0}
+        self.class_cond = config.get("class_conditioning") or None
+        ddpm_params = dict(config["ddpm_params"])
+        if self.class_cond:
+            self.num_classes = int(self.class_cond["num_classes"])
+            self.cfg_dropout = float(self.class_cond.get("dropout_prob", 0.1))
+            self.guidance_scale = float(self.class_cond.get("guidance_scale", 2.0))
+            # one extra embedding row: index num_classes = the unconditional
+            # (null) class used for dropout and guidance
+            ddpm_params["num_class_embeds"] = self.num_classes + 1
+        self.unet = DiffusionUNet.from_config(ddpm_params, dtype=dtype)
         self.schedule = NoiseSchedule.from_config(config["time_scheduler_params"])
 
         self.n_epochs = int(config.get("n_epochs", 100))
@@ -144,7 +160,7 @@ class LDMTrainer:
     def probe_latent(self, train_loader):
         """Fix latent shape + scale factor from one batch
         (reference train_ldm.py:98-118)."""
-        batch = jnp.asarray(next(iter(train_loader)))
+        batch = jnp.asarray(unpack_batch(next(iter(train_loader)))[0])
         z = self._encode(self.ae_params, batch, jax.random.PRNGKey(0))
         if self.latent_space_type == "vae":
             self.scale_factor = float(1.0 / (jnp.std(z) + 1e-8))
@@ -154,21 +170,26 @@ class LDMTrainer:
 
     # ------------------------------------------------------------ train steps
 
-    def _build_state(self):
+    def _build_state(self, steps_per_epoch: int = 250):
         assert self.latent_shape is not None
         rng = jax.random.PRNGKey(self.seed)
         z = jnp.zeros((1,) + self.latent_shape[1:], jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        variables = self.unet.init(rng, z, t)
-        steps = 250
+        if self.class_cond:
+            variables = self.unet.init(
+                rng, z, t, class_labels=jnp.zeros((1,), jnp.int32)
+            )
+        else:
+            variables = self.unet.init(rng, z, t)
         sched = common.make_lr_schedule(
             float(self.config.get("ddpm_learning_rate", 2e-5)),
             self.config.get("lr_scheduler"),
             self.config.get("lr_scheduler_params"),
-            steps,
+            steps_per_epoch,
         )
         tx = common.make_optimizer(
-            sched, self.clip, self.grad_accum, weight_decay=1e-2  # AdamW (reference :121)
+            sched, self.clip, self.grad_accum, weight_decay=1e-2,  # AdamW (reference :121)
+            mu_dtype=common.mu_dtype_from_config(self.config),
         )
         if self.ema_decay:
             state = common.EMATrainState.create(
@@ -182,23 +203,40 @@ class LDMTrainer:
                 apply_fn=self.unet.apply, params=variables["params"], tx=tx
             )
         print(f"Diffusion U-Net parameters: {count_params(state.params):,}")
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        # TP layout over the mesh 'model' axis when configured (params +
+        # adam moments Megatron-partitioned); plain replication otherwise
+        state, self._state_sh = place_train_state(state, self.mesh)
+        return state
+
+    def _dropout_labels(self, labels, rng):
+        """Classifier-free label dropout: replace with the null class id
+        (= num_classes) with probability cfg_dropout."""
+        drop = jax.random.uniform(rng, labels.shape) < self.cfg_dropout
+        return jnp.where(drop, jnp.int32(self.num_classes), labels)
 
     def _make_train_step(self):
         T = self.schedule.num_train_timesteps
 
         def step(state, ae_params, batch, rng):
-            aug_rng, enc_rng, t_rng, n_rng = jax.random.split(rng, 4)
-            batch = augment_batch(batch, aug_rng, self.aug_cfg)
-            z = jax.lax.stop_gradient(self._encode(ae_params, batch, enc_rng))
+            imgs, labels = unpack_batch(batch)
+            aug_rng, enc_rng, t_rng, n_rng, d_rng = jax.random.split(rng, 5)
+            imgs = augment_batch(imgs, aug_rng, self.aug_cfg)
+            z = jax.lax.stop_gradient(self._encode(ae_params, imgs, enc_rng))
             z = self._scale(z).astype(jnp.float32)
             t = jax.random.randint(t_rng, (z.shape[0],), 0, T)
             noise = jax.random.normal(n_rng, z.shape, jnp.float32)
             noisy = self.schedule.add_noise(z, noise, t)
             target = self.schedule.training_target(z, noise, t)
+            if labels is not None:
+                labels_in = self._dropout_labels(labels, d_rng)
 
             def loss_fn(params):
-                pred = self.unet.apply({"params": params}, noisy, t)
+                if labels is not None:
+                    pred = self.unet.apply(
+                        {"params": params}, noisy, t, class_labels=labels_in
+                    )
+                else:
+                    pred = self.unet.apply({"params": params}, noisy, t)
                 return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -213,14 +251,20 @@ class LDMTrainer:
         T = self.schedule.num_train_timesteps
 
         def step(state, ae_params, batch, rng):
+            imgs, labels = unpack_batch(batch)
             enc_rng, t_rng, n_rng = jax.random.split(rng, 3)
-            z = self._encode(ae_params, batch, enc_rng)
+            z = self._encode(ae_params, imgs, enc_rng)
             z = self._scale(z).astype(jnp.float32)
             t = jax.random.randint(t_rng, (z.shape[0],), 0, T)
             noise = jax.random.normal(n_rng, z.shape, jnp.float32)
             noisy = self.schedule.add_noise(z, noise, t)
             target = self.schedule.training_target(z, noise, t)
-            pred = self.unet.apply({"params": state.params}, noisy, t)
+            if labels is not None:
+                pred = self.unet.apply(
+                    {"params": state.params}, noisy, t, class_labels=labels
+                )
+            else:
+                pred = self.unet.apply({"params": state.params}, noisy, t)
             return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
         return jax.jit(step)
@@ -233,89 +277,153 @@ class LDMTrainer:
         return ema if ema is not None else state.params
 
     def sample_images(self, state, n_samples: int, rng, sampler: str = "ddpm",
-                      num_inference_steps: Optional[int] = None) -> np.ndarray:
+                      num_inference_steps: Optional[int] = None,
+                      class_label=None, guidance_scale: Optional[float] = None,
+                      ) -> np.ndarray:
         """Generate n_samples images (decoded) via compiled trajectories
-        (reference sample_images, train_ldm.py:332-366; caps :337-339)."""
+        (reference sample_images, train_ldm.py:332-366; caps :337-339).
+
+        Class-conditional models: ``class_label`` (int or per-sample array)
+        selects the class; sampling then uses classifier-free guidance
+        ``eps = eps_null + g * (eps_class - eps_null)`` with
+        g = ``guidance_scale`` (config default). Without ``class_label`` the
+        null (unconditional) embedding is used."""
         assert self.latent_shape is not None
         shape = (n_samples,) + self.latent_shape[1:]
 
         sampling_params = self._sampling_params(state)
-        if sampler == "ddim":
-            def model_fn(x, t):
-                return self.unet.apply({"params": sampling_params}, x, t)
-
-            steps = num_inference_steps or 50
-            z = ddim_sample(self.schedule, model_fn, shape, rng, num_inference_steps=steps)
-        else:
-            if not hasattr(self, "_ddpm_sampler"):
-                self._ddpm_sampler = SegmentedDDPMSampler(
-                    self.schedule,
-                    lambda params, x, t: self.unet.apply({"params": params}, x, t),
+        labels = None
+        g = 1.0
+        if self.class_cond:
+            if class_label is None:
+                labels = jnp.full((n_samples,), self.num_classes, jnp.int32)
+            else:
+                labels = jnp.asarray(
+                    np.broadcast_to(np.asarray(class_label, np.int32), (n_samples,))
                 )
-            z = self._ddpm_sampler(sampling_params, shape, rng)
+                g = float(self.guidance_scale if guidance_scale is None
+                          else guidance_scale)
+
+        def apply_model(params_labels, x, t):
+            params, lab = params_labels
+            if lab is None:
+                return self.unet.apply({"params": params}, x, t)
+            e_c = self.unet.apply({"params": params}, x, t, class_labels=lab)
+            if g == 1.0:
+                return e_c
+            null = jnp.full_like(lab, self.num_classes)
+            e_u = self.unet.apply({"params": params}, x, t, class_labels=null)
+            return e_u + g * (e_c - e_u)
+
+        bundle = (sampling_params, labels)
+        if sampler == "ddim":
+            steps = num_inference_steps or 50
+            z = ddim_sample(
+                self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
+                num_inference_steps=steps,
+            )
+        else:
+            # segment programs cache by guidance structure: labels ride as a
+            # traced operand (one compile covers every class), g is baked
+            key = ("plain",) if labels is None else ("guided", g)
+            samplers = getattr(self, "_ddpm_samplers", None)
+            if samplers is None:
+                samplers = self._ddpm_samplers = {}
+            if key not in samplers:
+                samplers[key] = SegmentedDDPMSampler(self.schedule, apply_model)
+            z = samplers[key](bundle, shape, rng)
         images = self._decode(z)
         return np.asarray(jnp.clip(images, 0.0, 1.0))
 
     # -------------------------------------------------------------- eval
 
+    @property
+    def feature_extractor(self) -> FeatureExtractor:
+        """Cached per-trainer (the reference re-downloads its net every
+        validate_main call, train_ldm.py:271-273 — here building the
+        ResNet50 once per run)."""
+        if getattr(self, "_extractor", None) is None:
+            self._extractor = FeatureExtractor(spatial_dims=self.spatial_dims)
+        return self._extractor
+
+    # Reference protocol constants (train_ldm.py:276-277): MONAI metrics are
+    # built with kernel_size=4 for both SSIM and MS-SSIM.
+    EVAL_SSIM_KERNEL = 4
+
     def evaluate_generation(self, state, val_loader, n_samples: Optional[int] = None,
                             rng=None) -> Dict[str, float]:
-        """FID + pairwise SSIM / MS-SSIM (reference validate_main,
-        train_ldm.py:266-328; sample counts :513-514)."""
+        """Reference-exact generative eval (validate_main, train_ldm.py:266-328):
+        n samples (100 2D / 40 3D, :513-514) generated with the FULL
+        ancestral trajectory (:300,351), FID over extractor features, and
+        pairwise SSIM / MS-SSIM with kernel_size=4 over ALL C(n,2) pairs
+        (:315-321) — the pairwise pass as chunked jitted batches instead of
+        one host dispatch per pair.
+
+        ``eval_sampler``/``eval_num_inference_steps`` config keys can relax
+        the protocol (e.g. DDIM-50 for quick in-training checks); defaults
+        match the reference.
+        """
         if n_samples is None:
             n_samples = 100 if self.spatial_dims == 2 else 40
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed + 777)
+        sampler = str(self.config.get("eval_sampler", "ddpm"))
+        num_steps = self.config.get("eval_num_inference_steps")
 
-        cap = 16 if self.spatial_dims == 2 else 2
+        cap = 16 if self.spatial_dims == 2 else 2  # reference :337-339
         samples = []
         remaining = n_samples
         while remaining > 0:
             take = min(cap, remaining)
             rng, sub = jax.random.split(rng)
-            samples.append(self.sample_images(state, take, sub, sampler="ddim"))
+            samples.append(
+                self.sample_images(
+                    state, take, sub, sampler=sampler,
+                    num_inference_steps=num_steps,
+                )
+            )
             remaining -= take
         fake = np.concatenate(samples, axis=0)
 
         real = []
         for batch in val_loader:
-            real.append(np.asarray(batch))
+            real.append(np.asarray(unpack_batch(batch)[0]))
             if sum(r.shape[0] for r in real) >= n_samples:
                 break
         real = np.concatenate(real, axis=0)[:n_samples]
 
-        extractor = FeatureExtractor(spatial_dims=self.spatial_dims)
+        extractor = self.feature_extractor
         feats_real = extractor(real)
         feats_fake = extractor(fake)
         fid = fid_from_features(feats_real, feats_fake)
 
-        # pairwise diversity over a bounded number of pairs
-        pairs = list(combinations(range(min(len(fake), 20)), 2))
-        ssim_vals, ms_vals = [], []
-        for i, j in pairs:
-            a = jnp.asarray(fake[i : i + 1])
-            b = jnp.asarray(fake[j : j + 1])
-            ssim_vals.append(float(ssim(a, b)[0]))
-            ms_vals.append(float(ms_ssim(a, b)[0]))
+        pw = pairwise_metrics(fake, win_size=self.EVAL_SSIM_KERNEL)
         metrics = {
             "fid": float(fid),
-            "ssim": float(np.mean(ssim_vals)) if ssim_vals else float("nan"),
-            "ms_ssim": float(np.mean(ms_vals)) if ms_vals else float("nan"),
+            "ssim": pw["ssim_mean"],
+            "ssim_std": pw["ssim_std"],
+            "ms_ssim": pw["ms_ssim_mean"],
+            "ms_ssim_std": pw["ms_ssim_std"],
+            "n_pairs": pw["n_pairs"],
         }
         print(
-            f"FID: {metrics['fid']:.3f} | pairwise SSIM: {metrics['ssim']:.4f} | "
-            f"pairwise MS-SSIM: {metrics['ms_ssim']:.4f}"
+            f"FID: {metrics['fid']:.4f} - "
+            f"MS-SSIM: {metrics['ms_ssim']:.4f} +- {metrics['ms_ssim_std']:.4f} - "
+            f"SSIM: {metrics['ssim']:.4f} +- {metrics['ssim_std']:.4f} "
+            f"({metrics['n_pairs']} pairs)"
         )
         return metrics
 
     # -------------------------------------------------------------- main loop
 
     def train(self, train_loader, val_loader) -> None:
-        with profile_trace(self.config.get("profile_dir")):
+        # the active mesh enables ring-attention dispatch (ops/attention.py)
+        # and scopes GSPMD sharding propagation for the jitted steps
+        with profile_trace(self.config.get("profile_dir")), self.mesh:
             self._train_impl(train_loader, val_loader)
 
     def _train_impl(self, train_loader, val_loader) -> None:
         self.probe_latent(train_loader)
-        state = self._build_state()
+        state = self._build_state(steps_per_epoch=len(train_loader))
         train_step = self._make_train_step()
         val_step = self._make_val_step()
         bsh = batch_sharding(self.mesh)
@@ -435,7 +543,8 @@ class LDMTrainer:
         if prior:
             self.loss_dict = prior
         print(f"Resumed from {path} at epoch {self.start_epoch}")
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        state, self._state_sh = place_train_state(state, self.mesh)
+        return state
 
 
 # --------------------------------------------------------------------- CLI
@@ -462,6 +571,7 @@ def parse_arguments():
 
 
 def main():
+    maybe_initialize_distributed()
     args = parse_arguments()
     config = get_config_for_current_task(
         args.dataset_id, args.model_type, "ldm",
@@ -482,11 +592,12 @@ def main():
         )
     config["load_autoencoder_path"] = ae_best
     print_configuration(config, config["results_path"], "train", model="ldm")
+    trainer = LDMTrainer(config, latent_space_type=args.latent_space_type)
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ddpm_batch_size"],
         args.model_type, config["ddpm_transformations"], args.fold,
+        data_parallel=trainer.mesh.shape["data"],
     )
-    trainer = LDMTrainer(config, latent_space_type=args.latent_space_type)
     trainer.train(train_loader, val_loader)
 
 

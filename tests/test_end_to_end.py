@@ -83,10 +83,13 @@ class TestEndToEnd:
         return _shrink(cfg)
 
     def _loaders(self, workspace, cfg, key, steps=(3, 2)):
+        # per-chip batch x mesh 'data' size = global batch (production
+        # semantics: every sample an independent draw, no duplicate tiling)
         return get_data_loaders(
             cfg, "099", "train-val-test", cfg["ae_batch_size"], "2d",
             cfg[key], preprocessed_root=workspace["pre"],
             num_threads=2, train_steps=steps[0], val_steps=steps[1],
+            data_parallel=jax.device_count(),
         )
 
     def test_full_pipeline_2d(self, workspace):

@@ -6,7 +6,7 @@ import pytest
 from medical_image_generation_tpu.eval.fid import fid_from_features, frechet_distance
 from medical_image_generation_tpu.eval.features import FeatureExtractor
 from medical_image_generation_tpu.eval.mmd import mmd_from_features
-from medical_image_generation_tpu.eval.ssim import ms_ssim, ssim
+from medical_image_generation_tpu.eval.ssim import ms_ssim, pairwise_metrics, ssim
 
 
 class TestSSIM:
@@ -87,3 +87,61 @@ class TestFeatureExtractor:
         fx2 = FeatureExtractor(spatial_dims=2, dtype=jnp.float32)
         imgs = np.random.default_rng(0).uniform(size=(1, 32, 32, 1)).astype(np.float32)
         np.testing.assert_allclose(fx1(imgs), fx2(imgs), atol=1e-5)
+
+
+class TestPairwiseProtocol:
+    """Pin the reference generative-eval protocol (train_ldm.py:276-277,
+    315-321): ALL C(n,2) pairs, kernel_size=4."""
+
+    def test_all_pairs_and_values_match_per_pair_loop(self):
+        from itertools import combinations
+
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (8, 24, 24, 1))
+        out = pairwise_metrics(imgs, win_size=4, pairs_per_chunk=5)
+        assert out["n_pairs"] == 28
+        ref = [
+            float(ssim(imgs[i : i + 1], imgs[j : j + 1], win_size=4)[0])
+            for i, j in combinations(range(8), 2)
+        ]
+        np.testing.assert_allclose(out["ssim_mean"], np.mean(ref), atol=1e-5)
+        np.testing.assert_allclose(out["ssim_std"], np.std(ref), atol=1e-5)
+        ref_ms = [
+            float(ms_ssim(imgs[i : i + 1], imgs[j : j + 1], win_size=4)[0])
+            for i, j in combinations(range(8), 2)
+        ]
+        np.testing.assert_allclose(out["ms_ssim_mean"], np.mean(ref_ms), atol=1e-5)
+
+    def test_3d_pairs(self):
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 12, 12, 12, 1))
+        out = pairwise_metrics(imgs, win_size=4)
+        assert out["n_pairs"] == 6
+        assert np.isfinite(out["ssim_mean"]) and np.isfinite(out["ms_ssim_mean"])
+
+    def test_evaluate_generation_uses_reference_protocol(self):
+        """Default sampler is the full ancestral loop; kernel 4; all pairs;
+        the feature extractor is cached across calls."""
+        from medical_image_generation_tpu.training.train_ldm import LDMTrainer
+
+        assert LDMTrainer.EVAL_SSIM_KERNEL == 4
+
+        tr = LDMTrainer.__new__(LDMTrainer)
+        tr.config = {}
+        tr.spatial_dims = 2
+        tr.seed = 0
+        tr.latent_shape = (1, 8, 8, 4)
+        calls = []
+        rng = np.random.default_rng(0)
+
+        def fake_sample(state, n, key, sampler="ddpm", num_inference_steps=None):
+            calls.append((sampler, num_inference_steps))
+            return rng.uniform(0, 1, size=(n, 24, 24, 1)).astype(np.float32)
+
+        tr.sample_images = fake_sample
+        val_batches = [rng.uniform(0, 1, size=(4, 24, 24, 1)).astype(np.float32)
+                       for _ in range(3)]
+        metrics = tr.evaluate_generation(None, val_batches, n_samples=8)
+        assert all(s == "ddpm" and n is None for s, n in calls)
+        assert metrics["n_pairs"] == 28
+        assert np.isfinite(metrics["fid"])
+        first = tr.feature_extractor
+        assert tr.feature_extractor is first
