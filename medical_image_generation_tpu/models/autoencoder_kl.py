@@ -227,32 +227,11 @@ class AutoencoderKL(nn.Module):
         tensors end-to-end — the module path lane-pads the 32-channel level-0
         4x on TPU). Falls back to the Encoder module during init or for
         geometries the packed path doesn't cover."""
-        if not self.is_initializing():
-            from medical_image_generation_tpu.models import packed_encoder as pe
+        from medical_image_generation_tpu.models import packed_encoder as pe
 
-            if pe.packing_viable(
-                attention_levels=self.attention_levels,
-                with_nonlocal_attn=self.with_encoder_nonlocal_attn,
-                downsample_parameters=self.downsample_parameters,
-            ):
-                enc_params = self.variables.get("params", {}).get("encoder")
-                if enc_params is not None:
-                    nrb = self.num_res_blocks
-                    nrb = (tuple(nrb) if isinstance(nrb, (list, tuple))
-                           else (nrb,) * len(self.num_channels))
-                    try:
-                        return pe.encoder_forward_packed(
-                            enc_params, x,
-                            num_channels=tuple(self.num_channels),
-                            num_res_blocks=nrb,
-                            norm_num_groups=self.norm_num_groups,
-                            downsample_parameters=self.downsample_parameters,
-                            use_checkpointing=self.use_checkpointing,
-                            dtype=self.dtype,
-                        )
-                    except ValueError:  # e.g. indivisible extents
-                        pass
-        return self.encoder(x)
+        return pe.module_encoder_features(
+            self, x, with_nonlocal_attn=self.with_encoder_nonlocal_attn
+        )
 
     def encode(self, x) -> Tuple[jax.Array, jax.Array]:
         h = self._encoder_features(x)
@@ -266,9 +245,20 @@ class AutoencoderKL(nn.Module):
         eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
         return mu + sigma * eps
 
+    def _decoder_features(self, z) -> jax.Array:
+        """Decoder forward via the lane-packed path when viable (the decoder
+        tail is the 32-channel level at full resolution — the same 4x lane
+        padding the packed encoder removes)."""
+        from medical_image_generation_tpu.models import packed_encoder as pe
+
+        return pe.module_decoder_features(
+            self, z, with_nonlocal_attn=self.with_decoder_nonlocal_attn,
+            use_convtranspose=self.use_convtranspose,
+        )
+
     def decode(self, z) -> jax.Array:
         z = self.post_quant_conv(z.astype(self.dtype))
-        return self.decoder(z).astype(jnp.float32)
+        return self._decoder_features(z).astype(jnp.float32)
 
     def __call__(self, x, rng):
         mu, sigma = self.encode(x)

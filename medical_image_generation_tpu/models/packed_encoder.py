@@ -116,9 +116,20 @@ def packed_group_norm(h: jax.Array, scale: jax.Array, bias: jax.Array,
     C = h.shape[-1] // pack
     G = num_groups
     Cg = C // G
-    xg = h.reshape(B, -1, pack, G, Cg).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 2, 4))
-    meansq = jnp.mean(jnp.square(xg), axis=(1, 2, 4))
+    # reduce over the spatial axes FIRST, in the native packed layout (lanes
+    # = pack*C, full width): exposing the tiny per-group channel dim as the
+    # minor axis would lane-pad the fp32 stats intermediate up to 32x
+    spatial_axes = tuple(range(1, h.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= h.shape[a]
+    hf = h.astype(jnp.float32)
+    s1 = jnp.sum(hf, axis=spatial_axes)  # (B, pack*C)
+    s2 = jnp.sum(jnp.square(hf), axis=spatial_axes)
+    # fold pack + within-group channels on the tiny (B, pack*C) arrays
+    cnt = float(n_spatial * pack * Cg)
+    mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt  # (B, G)
+    meansq = s2.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt
     var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     rinv = lax.rsqrt(var + eps)  # (B, G)
 
@@ -240,3 +251,169 @@ def encoder_forward_packed(
     h = packed_conv(h, out["kernel"], out["bias"], (1,) * nd, (1,) * nd,
                     1, 1, dtype)
     return h
+
+
+def _nrb(parent) -> tuple:
+    nrb = parent.num_res_blocks
+    return (tuple(nrb) if isinstance(nrb, (list, tuple))
+            else (nrb,) * len(parent.num_channels))
+
+
+def module_encoder_features(parent, x, *, with_nonlocal_attn: bool) -> jax.Array:
+    """Shared dispatch for AutoencoderKL / VQVAE: run ``parent.encoder`` via
+    the lane-packed path when the geometry qualifies, else the module path
+    (always during init, which must create the params)."""
+    if not parent.is_initializing() and packing_viable(
+        attention_levels=parent.attention_levels,
+        with_nonlocal_attn=with_nonlocal_attn,
+        downsample_parameters=parent.downsample_parameters,
+    ):
+        params = parent.variables.get("params", {}).get("encoder")
+        if params is not None:
+            try:
+                return encoder_forward_packed(
+                    params, x,
+                    num_channels=tuple(parent.num_channels),
+                    num_res_blocks=_nrb(parent),
+                    norm_num_groups=parent.norm_num_groups,
+                    downsample_parameters=parent.downsample_parameters,
+                    use_checkpointing=parent.use_checkpointing,
+                    dtype=parent.dtype,
+                )
+            except ValueError:  # e.g. indivisible extents
+                pass
+    return parent.encoder(x)
+
+
+def module_decoder_features(parent, z, *, with_nonlocal_attn: bool,
+                            use_convtranspose: bool = False) -> jax.Array:
+    """Shared decoder dispatch (see module_encoder_features)."""
+    if not parent.is_initializing() and upsample_packing_viable(
+        attention_levels=parent.attention_levels,
+        with_nonlocal_attn=with_nonlocal_attn,
+        upsample_parameters=parent.upsample_parameters,
+        use_convtranspose=use_convtranspose,
+    ):
+        params = parent.variables.get("params", {}).get("decoder")
+        if params is not None:
+            try:
+                return decoder_forward_packed(
+                    params, z,
+                    num_channels=tuple(parent.num_channels),
+                    num_res_blocks=_nrb(parent),
+                    norm_num_groups=parent.norm_num_groups,
+                    upsample_parameters=parent.upsample_parameters,
+                    use_checkpointing=parent.use_checkpointing,
+                    dtype=parent.dtype,
+                )
+            except ValueError:
+                pass
+    return parent.decoder(z)
+
+
+def _packed_nearest_up_x(h: jax.Array, pack: int, s: int) -> jax.Array:
+    """Nearest-neighbor x-upsample by ``s`` on a lane-packed view without
+    leaving the packed domain: out x' maps to in floor(x'/s), expressed as a
+    split-broadcast-merge of the pack dim (s=2, even pack)."""
+    if s == 1:
+        return h
+    assert s == 2 and pack % 2 == 0, (s, pack)
+    lead = h.shape[:-2]
+    XB = h.shape[-2]
+    C = h.shape[-1] // pack
+    # pack index p' = 2*i + r with in position (parity, i); repeat over r
+    v = h.reshape(*lead, XB, 2, pack // 2, C)
+    v = jnp.broadcast_to(v[..., None, :], (*lead, XB, 2, pack // 2, 2, C))
+    return v.reshape(*lead, 2 * XB, pack * C)
+
+
+def _packed_upsample(h: jax.Array, p: Dict, stride: Sequence[int],
+                     pack: int, dtype) -> jax.Array:
+    """blocks.Upsample math (nearest repeat per strided axis + 3x3 conv) on
+    the packed view. Leading (non-packed) axes use plain repeat; the packed
+    x axis uses the split-broadcast-merge pattern."""
+    *lead_s, sx = stride
+    for axis, s in enumerate(lead_s):
+        if s > 1:
+            h = jnp.repeat(h, s, axis=axis + 1)
+    if sx > 1:
+        if sx == 2 and pack % 2 == 0:
+            h = _packed_nearest_up_x(h, pack, sx)
+        else:  # rare geometry: fall back through the plain domain
+            C = h.shape[-1] // pack
+            h = jnp.repeat(_repack(h, pack, 1), sx, axis=h.ndim - 2)
+            h = _repack(h, 1, pack)
+    k = p["ConvND_0"]["Conv_0"]
+    nd = h.ndim - 2
+    return packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
+                       pack, pack, dtype)
+
+
+def upsample_packing_viable(*, attention_levels, with_nonlocal_attn,
+                            upsample_parameters, use_convtranspose) -> bool:
+    if os.environ.get("MEDIMGEN_DISABLE_PACKED_ENCODER"):
+        return False
+    if any(attention_levels) or with_nonlocal_attn or use_convtranspose:
+        return False
+    for layer in upsample_parameters:
+        (_, *_, sx), (_, *_, kx) = tuple(layer[0]), tuple(layer[1])
+        if sx not in (1, 2) or kx % 2 == 0:
+            return False
+    return True
+
+
+def decoder_forward_packed(
+    params: Dict,
+    z: jax.Array,
+    *,
+    num_channels: Sequence[int],
+    num_res_blocks: Sequence[int],
+    norm_num_groups: int,
+    upsample_parameters: Sequence,
+    use_checkpointing: bool = False,
+    dtype=jnp.float32,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Pure-function Decoder forward (models.autoencoder_kl.Decoder) with
+    lane packing — the mirror of encoder_forward_packed: the decoder ENDS at
+    the 32-channel level at full resolution, so its tail is where the 4x
+    lane padding lives. ``params``: the decoder's param sub-tree;
+    ``num_channels``/``num_res_blocks`` in ENCODER order (reversed here,
+    exactly as the Decoder module does)."""
+    channels = list(reversed(list(num_channels)))
+    res_blocks = list(reversed(list(num_res_blocks)))
+    h = z.astype(dtype)
+    nd = h.ndim - 2
+
+    res_fn = _res_block
+    if use_checkpointing:
+        res_fn = jax.checkpoint(_res_block, static_argnums=(2, 3, 4, 5))
+
+    # conv_in at the deep (wide-channel) level: plain
+    cin = params["ConvND_0"]["Conv_0"]
+    pack = _pack_for(channels[0], h.shape[-2])
+    h = _repack(h, 1, pack)
+    h = packed_conv(h, cin["kernel"], cin["bias"], (1,) * nd, (1,) * nd,
+                    pack, pack, dtype)
+
+    rb = 0
+    for level, ch in enumerate(channels):
+        X = h.shape[-2] * pack
+        new_pack = _pack_for(ch, X)
+        h = _repack(h, pack, new_pack)
+        pack = new_pack
+        for _ in range(res_blocks[level]):
+            h = res_fn(h, params[f"ResBlock_{rb}"], norm_num_groups, eps,
+                       pack, dtype)
+            rb += 1
+        if level != len(channels) - 1:
+            s = tuple(upsample_parameters[level][0])
+            h = _packed_upsample(h, params[f"Upsample_{level}"], s, pack, dtype)
+
+    h = packed_group_norm(h, params["GroupNorm_0"]["scale"],
+                          params["GroupNorm_0"]["bias"],
+                          norm_num_groups, pack, eps, dtype)
+    out = params["ConvND_1"]["Conv_0"]
+    h = packed_conv(h, out["kernel"], out["bias"], (1,) * nd, (1,) * nd,
+                    pack, pack, dtype)
+    return _repack(h, pack, 1)

@@ -120,13 +120,21 @@ class VQVAE(nn.Module):
         self.quantizer = VectorQuantizer(self.num_embeddings, self.embedding_dim)
 
     def encode(self, x) -> jax.Array:
-        return self.encoder(x)
+        from medical_image_generation_tpu.models import packed_encoder as pe
+
+        # lane-packed execution when the geometry qualifies (see
+        # models/packed_encoder.py; identical math, tested)
+        return pe.module_encoder_features(self, x, with_nonlocal_attn=False)
 
     def quantize(self, z):
         return self.quantizer(z)
 
     def decode(self, zq) -> jax.Array:
-        return self.decoder(zq).astype(jnp.float32)
+        from medical_image_generation_tpu.models import packed_encoder as pe
+
+        return pe.module_decoder_features(
+            self, zq, with_nonlocal_attn=False
+        ).astype(jnp.float32)
 
     def __call__(self, x):
         z = self.encode(x)

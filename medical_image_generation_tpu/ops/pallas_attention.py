@@ -350,16 +350,26 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
 
 
 MIN_SEQ_FOR_KERNEL = 8192
+MAX_SEQ_FOR_KERNEL = 16384
 
 
 def kernel_supported(shape, dtype) -> bool:
     """Engage only where the kernel's tiling assumptions hold AND it beats
     XLA's fused attention.
 
-    Measured on v5e at the flagship grid (S=4096, D=512): XLA's attention is
-    ~6% faster end-to-end — its S^2 logits fit HBM trivially there. The
-    streaming kernel wins where the S^2 materialization starts to hurt, so
-    it engages from MIN_SEQ_FOR_KERNEL tokens (e.g. >= 32^3/4 latent grids).
+    Measured head-to-head on v5e (B=2, H=1, D=512, bf16; scripts/
+    bench_attention.py, fwd / fwd+bwd ms):
+
+        S=4096   xla  2.97 /   3.77   pallas  4.53 /   4.11
+        S=8192   xla 58.19 /  63.30   pallas  4.32 /  11.22
+        S=16384  xla 11.30 /  28.68   pallas 10.85 /  37.34
+        S=32768  xla 42.49 / 115.75   pallas 37.97 / 142.97
+
+    XLA's fused attention wins at the flagship 4096-token grid and (on the
+    backward) from 16384 up; the streaming kernel wins decisively in the
+    [8192, 16384) window (anisotropic latents like 16x16x32), where XLA's
+    S^2 path degenerates. Sequence-parallel ring attention takes over above
+    32^3 tokens on multi-chip meshes (ops/attention.py).
     """
     B, S, H, D = shape
     if D % 128 != 0:
@@ -370,7 +380,7 @@ def kernel_supported(shape, dtype) -> bool:
     # accumulator + two double-buffered K/V slots stay comfortable.
     if D > 1024:
         return False
-    if S < MIN_SEQ_FOR_KERNEL:
+    if not (MIN_SEQ_FOR_KERNEL <= S < MAX_SEQ_FOR_KERNEL):
         return False
     return True
 

@@ -24,13 +24,22 @@ import jax.numpy as jnp
 
 
 def time_fn(fn, *args, n=20, warmup=3):
+    """Per-call wall time with a REAL device sync: under the axon backend
+    block_until_ready returns early, so dispatch n calls and force a
+    device->host fetch of one element of the last result."""
+    import numpy as np
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -44,20 +44,19 @@ def main():
     latent = compute_output_size([128, 128, 128], vae_cfg["downsample_parameters"])
     z_shape = (BATCH, *latent, vae_cfg["latent_channels"])
 
+    from bench import _random_params
+
     rng = jax.random.PRNGKey(0)
-    zeros = lambda shapes: jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
-    )
-    unet_params = zeros(
+    unet_params = _random_params(
         jax.eval_shape(
             lambda r: unet.init(r, jnp.zeros((1, *z_shape[1:])), jnp.zeros((1,), jnp.int32)),
             rng,
-        )
+        ), seed=2,
     )["params"]
-    ae_params = zeros(
+    ae_params = _random_params(
         jax.eval_shape(
             lambda r: ae.init({"params": r}, jnp.zeros((1, 128, 128, 128, 1)), r), rng
-        )
+        ), seed=1,
     )["params"]
 
     def model_fn(x, t):
@@ -77,20 +76,32 @@ def main():
     def sample_ddpm(rng):
         return decode_jit(ddpm_sampler(unet_params, z_shape, rng))
 
-    @jax.jit
+    # trajectory and decode as SEPARATE programs — the shipped structure
+    # (LDMTrainer.sample_images); one combined jit compiles pathologically
+    ddim_jit = jax.jit(
+        lambda rng: ddim_sample(schedule, model_fn, z_shape, rng,
+                                num_inference_steps=50)
+    )
+
     def sample_ddim(rng):
-        z = ddim_sample(schedule, model_fn, z_shape, rng, num_inference_steps=50)
-        return decode(z)
+        return decode_jit(ddim_jit(rng))
+
+    import numpy as np
+
+    def sync(out):
+        # block_until_ready returns early under the axon backend; a
+        # device->host fetch is the reliable fence
+        np.asarray(out.ravel()[0])
 
     for name, fn, reps in (("ddim50", sample_ddim, 3), ("ddpm1000", sample_ddpm, 1)):
         t0 = time.time()
         out = fn(jax.random.PRNGKey(1))
-        out.block_until_ready()
+        sync(out)
         sys.stderr.write(f"{name} warmup (incl. compile): {time.time() - t0:.1f}s\n")
         t0 = time.time()
         for i in range(reps):
             out = fn(jax.random.fold_in(rng, i))
-        out.block_until_ready()
+        sync(out)
         per_call = (time.time() - t0) / reps
         vols_per_min = 60.0 * BATCH / per_call
         print(json.dumps({

@@ -53,13 +53,17 @@ class TestFlashAttention:
         )
 
     def test_kernel_supported_gating(self):
-        # K/V stream from HBM, so long sequences are supported
-        assert kernel_supported((2, 32768, 1, 512), jnp.bfloat16)
+        # the measured-win window [8192, 16384) — see BENCH_NOTES.md table
         assert kernel_supported((2, 8192, 1, 768), jnp.bfloat16)
-        # short sequences: XLA's fused attention measured faster on v5e
+        assert kernel_supported((2, 8192, 1, 512), jnp.bfloat16)
+        # below: XLA's fused attention measured faster on v5e
         assert not kernel_supported((2, 4096, 1, 512), jnp.bfloat16)
-        assert not kernel_supported((2, 32768, 1, 100), jnp.bfloat16)  # D not lane-aligned
-        assert not kernel_supported((2, 32100, 1, 128), jnp.bfloat16)  # S not tileable
+        # at/above 16384: XLA wins the backward; ring attention covers
+        # >=32^3 on multi-chip meshes
+        assert not kernel_supported((2, 16384, 1, 512), jnp.bfloat16)
+        assert not kernel_supported((2, 32768, 1, 512), jnp.bfloat16)
+        assert not kernel_supported((2, 8192, 1, 100), jnp.bfloat16)  # D not lane-aligned
+        assert not kernel_supported((2, 8300, 1, 128), jnp.bfloat16)  # S not tileable
 
     def test_nonuniform_seq_block(self):
         # S = 384 exercises the 128-divisor block path

@@ -9,12 +9,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL, Encoder
+from medical_image_generation_tpu.models.autoencoder_kl import (
+    AutoencoderKL,
+    Decoder,
+    Encoder,
+)
 from medical_image_generation_tpu.models.packed_encoder import (
     _pack_conv_kernel,
+    decoder_forward_packed,
     encoder_forward_packed,
     packed_conv,
     packing_viable,
+    upsample_packing_viable,
 )
 
 
@@ -152,6 +158,99 @@ class TestEncoderEquivalence:
             norm_num_groups=4, downsample_parameters=ISO3[:2],
             dtype=jnp.float32, use_checkpointing=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+UP3 = (((2, 2, 2), (3, 3, 3), (1, 1, 1)),
+       ((2, 2, 2), (3, 3, 3), (1, 1, 1)))
+
+
+class TestDecoderEquivalence:
+    def _decoder(self, num_channels, up, nrb=1, groups=4, sd=3):
+        return Decoder(
+            spatial_dims=sd,
+            num_channels=list(num_channels),
+            out_channels=1,
+            num_res_blocks=[nrb] * len(num_channels),
+            norm_num_groups=groups,
+            attention_levels=[False] * len(num_channels),
+            upsample_parameters=up,
+            dtype=jnp.float32,
+        )
+
+    def _run_both(self, dec, z, seed=0):
+        params = dec.init(jax.random.PRNGKey(seed), z)["params"]
+        ref = dec.apply({"params": params}, z)
+        packed = decoder_forward_packed(
+            params, z,
+            num_channels=tuple(dec.num_channels),
+            num_res_blocks=tuple(dec.num_res_blocks),
+            norm_num_groups=dec.norm_num_groups,
+            upsample_parameters=dec.upsample_parameters,
+            dtype=jnp.float32,
+        )
+        return np.asarray(ref), np.asarray(packed)
+
+    def test_flagship_like_3d(self):
+        dec = self._decoder((8, 16, 32), UP3, nrb=2)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 4, 3))
+        ref, packed = self._run_both(dec, z)
+        assert ref.shape == packed.shape
+        np.testing.assert_allclose(packed, ref, atol=1e-4, rtol=1e-5)
+
+    def test_anisotropic_3d(self):
+        up = (((2, 2, 2), (3, 3, 3), (1, 1, 1)),
+              ((1, 2, 2), (1, 3, 3), (0, 1, 1)))
+        dec = self._decoder((8, 16, 32), up, nrb=1)
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4, 3))
+        ref, packed = self._run_both(dec, z)
+        np.testing.assert_allclose(packed, ref, atol=1e-4, rtol=1e-5)
+
+    def test_2d(self):
+        up = (((2, 2), (3, 3), (1, 1)),)
+        dec = self._decoder((8, 16), up, nrb=1, sd=2)
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3))
+        ref, packed = self._run_both(dec, z)
+        np.testing.assert_allclose(packed, ref, atol=1e-4, rtol=1e-5)
+
+    def test_decode_dispatches_packed(self, monkeypatch):
+        vae_params = {
+            "spatial_dims": 3, "in_channels": 1, "out_channels": 1,
+            "num_channels": [8, 16, 32], "latent_channels": 4,
+            "num_res_blocks": 1, "norm_num_groups": 4,
+            "attention_levels": [False, False, False],
+            "downsample_parameters": [list(list(t) for t in lay) for lay in ISO3],
+            "upsample_parameters": [list(list(t) for t in lay) for lay in UP3],
+        }
+        ae = AutoencoderKL.from_config(vae_params, dtype=jnp.float32)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 16, 16, 1))
+        rng = jax.random.PRNGKey(1)
+        variables = ae.init({"params": rng}, x, rng)
+        z = ae.apply(variables, x, rng, method=ae.encode_stage_2_inputs)
+
+        import medical_image_generation_tpu.models.packed_encoder as pe
+        calls = {"n": 0}
+        orig = pe.decoder_forward_packed
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pe, "decoder_forward_packed", spy)
+        out1 = ae.apply(variables, z, method=ae.decode)
+        assert calls["n"] == 1
+        monkeypatch.setenv("MEDIMGEN_DISABLE_PACKED_ENCODER", "1")
+        out2 = ae.apply(variables, z, method=ae.decode)
+        assert calls["n"] == 1
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_upsample_viability_guard(self):
+        assert upsample_packing_viable(
+            attention_levels=[False], with_nonlocal_attn=False,
+            upsample_parameters=UP3, use_convtranspose=False)
+        assert not upsample_packing_viable(
+            attention_levels=[False], with_nonlocal_attn=False,
+            upsample_parameters=UP3, use_convtranspose=True)
 
 
 class TestDispatch:
