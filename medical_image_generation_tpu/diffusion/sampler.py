@@ -114,8 +114,16 @@ def ddim_sample(
     num_inference_steps: int = 50,
     eta: float = 0.0,
     clip_x0: bool = True,
+    max_steps_per_call: Optional[int] = None,
 ) -> jax.Array:
-    """DDIM sampling with a strided timestep ladder (fast path)."""
+    """DDIM sampling with a strided timestep ladder (fast path).
+
+    ``max_steps_per_call`` segments the trajectory into smaller compiled
+    scan programs driven by a host loop (same mechanism as ddpm_sample);
+    results are bit-identical for any segmentation. Use it when one
+    scan-of-the-whole-model program is too large for the compiler —
+    observed with 441M-parameter UNets on some TPU compile services.
+    """
     T = schedule.num_train_timesteps
     step = max(1, T // num_inference_steps)
     ts = jnp.arange(T - 1, -1, -step, dtype=jnp.int32)
@@ -135,5 +143,24 @@ def ddim_sample(
         x = schedule.ddim_step(out, t_batch, tp_batch, x, eta=eta, noise=noise, clip_x0=clip_x0)
         return (x, rng), None
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), (ts, ts_prev))
-    return x
+    n = len(ts)
+    if max_steps_per_call is None or max_steps_per_call >= n:
+        (x, _), _ = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+        return x
+
+    if max_steps_per_call <= 1:
+        # host-driven loop: one jitted single-step program (the most
+        # compiler-friendly shape; ~10 ms dispatch per step)
+        step_fn = jax.jit(lambda c, tp: body(c, tp)[0])
+        carry = (x, rng)
+        for i in range(n):
+            carry = step_fn(carry, (ts[i], ts_prev[i]))
+        return carry[0]
+
+    run_segment = jax.jit(lambda carry, seg: jax.lax.scan(body, carry, seg))
+    carry = (x, rng)
+    for start in range(0, n, max_steps_per_call):
+        seg = (ts[start:start + max_steps_per_call],
+               ts_prev[start:start + max_steps_per_call])
+        carry, _ = run_segment(carry, seg)
+    return carry[0]

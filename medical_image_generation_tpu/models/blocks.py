@@ -93,9 +93,20 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
         B = x.shape[0]
-        xg = x.reshape(B, -1, G, C // G).astype(jnp.float32)
-        mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
-        meansq = jnp.mean(jnp.square(xg), axis=(1, 3))
+        # reduce the spatial axes FIRST, in the native channels-last layout:
+        # reshaping to (..., G, C/G) before reducing would put the narrow
+        # per-group dim in the TPU lanes, padding the fp32 stats
+        # intermediates up to 16x and forcing layout copies around them
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n_spatial = 1
+        for a in spatial_axes:
+            n_spatial *= x.shape[a]
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=spatial_axes)  # (B, C)
+        s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
+        cnt = float(n_spatial * (C // G))
+        mean = s1.reshape(B, G, C // G).sum(axis=-1) / cnt  # (B, G)
+        meansq = s2.reshape(B, G, C // G).sum(axis=-1) / cnt
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         rinv = jax.lax.rsqrt(var + self.epsilon)
 

@@ -230,6 +230,7 @@ class DDPMTrainer:
             z = ddim_sample(
                 self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
                 num_inference_steps=num_inference_steps or 50,
+                max_steps_per_call=self.config.get("ddim_steps_per_call"),
             )
         else:
             key = ("plain",) if labels is None else ("guided", g)

@@ -321,6 +321,7 @@ class LDMTrainer:
             z = ddim_sample(
                 self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
                 num_inference_steps=steps,
+                max_steps_per_call=self.config.get("ddim_steps_per_call"),
             )
         else:
             # segment programs cache by guidance structure: labels ride as a

@@ -99,6 +99,22 @@ class TestSamplers:
         out2 = f(jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
 
+    def test_ddim_segmentation_is_bit_identical(self):
+        """Any max_steps_per_call (segments, incl. the single-step host
+        loop) reproduces the one-scan trajectory exactly — same RNG carry."""
+        sched = NoiseSchedule.create(num_train_timesteps=100)
+        target = 0.3 * jnp.ones((1, 8, 8, 1))
+        model_fn = self._perfect_model(sched, target)
+        rng = jax.random.PRNGKey(7)
+        full = ddim_sample(sched, model_fn, (1, 8, 8, 1), rng,
+                           num_inference_steps=10, eta=0.5)
+        for seg in (1, 3, 10):
+            out = ddim_sample(sched, model_fn, (1, 8, 8, 1), rng,
+                              num_inference_steps=10, eta=0.5,
+                              max_steps_per_call=seg)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                       atol=1e-6)
+
     def test_seed_reproducibility(self):
         sched = NoiseSchedule.create(num_train_timesteps=20)
         model_fn = lambda x, t: jnp.zeros_like(x)
