@@ -135,12 +135,16 @@ class FeatureExtractor:
     network — torchvision-exact frozen-BN ResNet50 (2D / RadImageNet) or
     MedicalNet's dilated variant (3D)."""
 
-    def __init__(self, spatial_dims: int = 2, seed: int = 0, dtype=jnp.bfloat16):
+    def __init__(self, spatial_dims: int = 2, seed: int = 0, dtype=None):
         self.spatial_dims = spatial_dims
         env = f"MEDIMGEN_FID_WEIGHTS_{spatial_dims}D"
         path = os.environ.get(env)
         self.pretrained = bool(path and os.path.exists(path))
 
+        if dtype is None:
+            # pretrained mode matches the reference's fp32 torch inference;
+            # random-feature mode only needs relative comparisons -> bf16
+            dtype = jnp.float32 if self.pretrained else jnp.bfloat16
         stages = RESNET50_STAGES
         if self.pretrained and spatial_dims == 3:
             stages = MEDICALNET_STAGES
