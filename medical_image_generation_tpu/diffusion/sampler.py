@@ -89,17 +89,27 @@ class SegmentedDDPMSampler:
             x = schedule.step(out, t_batch, x, noise, clip_x0=clip_x0)
             return (x, rng), None
 
-        self._run_segment = jax.jit(
-            lambda params, carry, ts: jax.lax.scan(
-                lambda c, t: body(params, c, t), carry, ts
+        if max_steps_per_call <= 1:
+            # scan-free single-step program: the most compiler-friendly
+            # shape (scan-wrapped large UNets can exceed compile limits)
+            self._run_step = jax.jit(lambda params, carry, t: body(params, carry, t)[0])
+            self._run_segment = None
+        else:
+            self._run_segment = jax.jit(
+                lambda params, carry, ts: jax.lax.scan(
+                    lambda c, t: body(params, c, t), carry, ts
+                )
             )
-        )
 
     def __call__(self, params, shape: Sequence[int], rng: jax.Array) -> jax.Array:
         rng, init_rng = jax.random.split(rng)
         x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
         ts_all = jnp.arange(self.T - 1, -1, -1)
         carry = (x, rng)
+        if self._run_segment is None:
+            for t in range(self.T - 1, -1, -1):
+                carry = self._run_step(params, carry, jnp.int32(t))
+            return carry[0]
         for start in range(0, self.T, self.max_steps_per_call):
             seg = ts_all[start : start + self.max_steps_per_call]
             carry, _ = self._run_segment(params, carry, seg)
@@ -108,22 +118,33 @@ class SegmentedDDPMSampler:
 
 def ddim_sample(
     schedule: NoiseSchedule,
-    model_fn: ModelFn,
+    model_fn: Optional[ModelFn],
     shape: Sequence[int],
     rng: jax.Array,
     num_inference_steps: int = 50,
     eta: float = 0.0,
     clip_x0: bool = True,
     max_steps_per_call: Optional[int] = None,
+    apply_fn=None,
+    params=None,
 ) -> jax.Array:
     """DDIM sampling with a strided timestep ladder (fast path).
 
+    Pass EITHER ``model_fn(x, t)`` (params closed over — fine for small
+    models and tests) OR ``apply_fn(params, x, t)`` + ``params``: the params
+    then ride through the compiled programs as real arguments. The closure
+    form embeds the weights as program CONSTANTS, which large models must
+    avoid — a 441M-parameter UNet's weights as literals exceed what TPU
+    compile services handle (observed: >35 min then a compiler crash, for
+    any program shape, while the argument form compiles in minutes).
+
     ``max_steps_per_call`` segments the trajectory into smaller compiled
-    scan programs driven by a host loop (same mechanism as ddpm_sample);
-    results are bit-identical for any segmentation. Use it when one
-    scan-of-the-whole-model program is too large for the compiler —
-    observed with 441M-parameter UNets on some TPU compile services.
+    scan programs (or, at 1, a scan-free single-step program) driven by a
+    host loop — same mechanism as ddpm_sample; results are bit-identical
+    for any segmentation.
     """
+    if apply_fn is None:
+        apply_fn = lambda _p, x, t: model_fn(x, t)
     T = schedule.num_train_timesteps
     step = max(1, T // num_inference_steps)
     ts = jnp.arange(T - 1, -1, -step, dtype=jnp.int32)
@@ -132,35 +153,37 @@ def ddim_sample(
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
 
-    def body(carry, t_pair):
+    def body(p, carry, t_pair):
         x, rng = carry
         t, t_prev = t_pair
         rng, step_rng = jax.random.split(rng)
         t_batch = jnp.full((shape[0],), t, dtype=jnp.int32)
         tp_batch = jnp.full((shape[0],), t_prev, dtype=jnp.int32)
-        out = model_fn(x, t_batch)
+        out = apply_fn(p, x, t_batch)
         noise = jax.random.normal(step_rng, x.shape, dtype=x.dtype)
         x = schedule.ddim_step(out, t_batch, tp_batch, x, eta=eta, noise=noise, clip_x0=clip_x0)
         return (x, rng), None
 
     n = len(ts)
     if max_steps_per_call is None or max_steps_per_call >= n:
-        (x, _), _ = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+        run = jax.jit(lambda p, carry: jax.lax.scan(
+            lambda c, tp: body(p, c, tp), carry, (ts, ts_prev)))
+        (x, _), _ = run(params, (x, rng))
         return x
 
     if max_steps_per_call <= 1:
-        # host-driven loop: one jitted single-step program (the most
-        # compiler-friendly shape; ~10 ms dispatch per step)
-        step_fn = jax.jit(lambda c, tp: body(c, tp)[0])
+        # host-driven loop: one jitted scan-free single-step program
+        step_fn = jax.jit(lambda p, c, tp: body(p, c, tp)[0])
         carry = (x, rng)
         for i in range(n):
-            carry = step_fn(carry, (ts[i], ts_prev[i]))
+            carry = step_fn(params, carry, (ts[i], ts_prev[i]))
         return carry[0]
 
-    run_segment = jax.jit(lambda carry, seg: jax.lax.scan(body, carry, seg))
+    run_segment = jax.jit(lambda p, carry, seg: jax.lax.scan(
+        lambda c, tp: body(p, c, tp), carry, seg))
     carry = (x, rng)
     for start in range(0, n, max_steps_per_call):
         seg = (ts[start:start + max_steps_per_call],
                ts_prev[start:start + max_steps_per_call])
-        carry, _ = run_segment(carry, seg)
+        carry, _ = run_segment(params, carry, seg)
     return carry[0]

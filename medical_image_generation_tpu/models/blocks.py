@@ -101,9 +101,11 @@ class GroupNorm(nn.Module):
         n_spatial = 1
         for a in spatial_axes:
             n_spatial *= x.shape[a]
-        xf = x.astype(jnp.float32)
-        s1 = jnp.sum(xf, axis=spatial_axes)  # (B, C)
-        s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
+        # two independent reductions, each fusing its own upcast: a shared
+        # x.astype(f32) has two consumers, which makes XLA materialize a
+        # full fp32 copy of the activation (536 MB at the AE's level-0)
+        s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes)
         cnt = float(n_spatial * (C // G))
         mean = s1.reshape(B, G, C // G).sum(axis=-1) / cnt  # (B, G)
         meansq = s2.reshape(B, G, C // G).sum(axis=-1) / cnt

@@ -123,9 +123,10 @@ def packed_group_norm(h: jax.Array, scale: jax.Array, bias: jax.Array,
     n_spatial = 1
     for a in spatial_axes:
         n_spatial *= h.shape[a]
-    hf = h.astype(jnp.float32)
-    s1 = jnp.sum(hf, axis=spatial_axes)  # (B, pack*C)
-    s2 = jnp.sum(jnp.square(hf), axis=spatial_axes)
+    # independent reductions so neither forces a materialized fp32 copy of
+    # the activation (see blocks.GroupNorm)
+    s1 = jnp.sum(h, axis=spatial_axes, dtype=jnp.float32)  # (B, pack*C)
+    s2 = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=spatial_axes)
     # fold pack + within-group channels on the tiny (B, pack*C) arrays
     cnt = float(n_spatial * pack * Cg)
     mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt  # (B, G)

@@ -227,10 +227,12 @@ class DDPMTrainer:
 
         bundle = (sampling_params, labels)
         if sampler == "ddim":
+            # apply_fn form: params as jit arguments, not constants
             z = ddim_sample(
-                self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
+                self.schedule, None, shape, rng,
                 num_inference_steps=num_inference_steps or 50,
                 max_steps_per_call=self.config.get("ddim_steps_per_call"),
+                apply_fn=apply_model, params=bundle,
             )
         else:
             key = ("plain",) if labels is None else ("guided", g)

@@ -318,10 +318,14 @@ class LDMTrainer:
         bundle = (sampling_params, labels)
         if sampler == "ddim":
             steps = num_inference_steps or 50
+            # params/labels ride as jit ARGUMENTS (apply_fn form): closing
+            # over 441M weights embeds them as compile-time constants, which
+            # TPU compile services cannot handle at flagship scale
             z = ddim_sample(
-                self.schedule, lambda x, t: apply_model(bundle, x, t), shape, rng,
+                self.schedule, None, shape, rng,
                 num_inference_steps=steps,
                 max_steps_per_call=self.config.get("ddim_steps_per_call"),
+                apply_fn=apply_model, params=bundle,
             )
         else:
             # segment programs cache by guidance structure: labels ride as a

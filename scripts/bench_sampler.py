@@ -59,11 +59,8 @@ def main():
         ), seed=1,
     )["params"]
 
-    def model_fn(x, t):
-        return unet.apply({"params": unet_params}, x, t)
-
-    def decode(z):
-        return ae.apply({"params": ae_params}, z, method=ae.decode_stage_2_outputs)
+    def decode(p, z):
+        return ae.apply({"params": p}, z, method=ae.decode_stage_2_outputs)
 
     # 1000-iteration single programs trip device execution limits; the
     # segmented sampler runs compiled 100-step chunks instead.
@@ -71,20 +68,26 @@ def main():
         schedule, lambda p, x, t: unet.apply({"params": p}, x, t),
         max_steps_per_call=100,
     )
-    decode_jit = jax.jit(decode)
+    _decode_jit = jax.jit(decode)
+    decode_jit = lambda z: _decode_jit(ae_params, z)
 
     def sample_ddpm(rng):
         return decode_jit(ddpm_sampler(unet_params, z_shape, rng))
 
     # trajectory and decode as SEPARATE programs — the shipped structure
-    # (LDMTrainer.sample_images); one combined jit compiles pathologically
-    ddim_jit = jax.jit(
-        lambda rng: ddim_sample(schedule, model_fn, z_shape, rng,
-                                num_inference_steps=50)
-    )
-
+    # (LDMTrainer.sample_images). The trajectory runs in host-loop mode
+    # (max_steps_per_call=1): scan-wrapped flagship UNet programs of ANY
+    # length reliably exceed the remote compiler's limits, while the
+    # scan-free single-step program compiles like the train step.
+    # Bit-identical to the one-scan trajectory (sampler tests).
     def sample_ddim(rng):
-        return decode_jit(ddim_jit(rng))
+        # apply_fn form: the UNet params ride as jit arguments (the closure
+        # form embeds 441M weights as compile-time constants -> compiler death)
+        z = ddim_sample(schedule, None, z_shape, rng,
+                        num_inference_steps=50,
+                        apply_fn=lambda p, x, t: unet.apply({"params": p}, x, t),
+                        params=unet_params)
+        return decode_jit(z)
 
     import numpy as np
 

@@ -146,6 +146,10 @@ class TestSegmentedSampler:
         seg = SegmentedDDPMSampler(sched, apply_fn, max_steps_per_call=7)
         chunked = seg(None, (1, 8, 8, 1), jax.random.PRNGKey(5))
         np.testing.assert_allclose(np.asarray(single), np.asarray(chunked), atol=1e-5)
+        # scan-free host-loop mode is bit-identical too
+        host = SegmentedDDPMSampler(sched, apply_fn, max_steps_per_call=1)
+        looped = host(None, (1, 8, 8, 1), jax.random.PRNGKey(5))
+        np.testing.assert_allclose(np.asarray(single), np.asarray(looped), atol=1e-5)
 
     def test_function_segmentation_matches(self):
         sched = NoiseSchedule.create(num_train_timesteps=30)
