@@ -342,6 +342,11 @@ def get_data_loaders(
         class_map = {k: int(v) for k, v in (label_map or {}).items()}
 
     global_batch = int(batch_size) * max(1, int(data_parallel))
+    # multi-host: each process builds only its share of the global batch —
+    # parallel.mesh.put_batch assembles the global array from process-local
+    # rows, so per-host sampling/decode work stays constant with host count
+    if n_proc > 1 and global_batch % n_proc == 0:
+        global_batch //= n_proc
     common = dict(
         data_path=images_path,
         batch_size=global_batch,

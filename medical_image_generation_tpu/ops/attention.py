@@ -31,7 +31,9 @@ def _on_tpu() -> bool:
 def _ring_min_seq() -> int:
     """Token count above which sequence-parallel ring attention pays off:
     one chip handles the flagship 32^3-latent grids comfortably, so the
-    ring engages only for >32^3 latents (CLAUDE.md roadmap)."""
+    ring engages only for >32^3 latents (CLAUDE.md roadmap). The gate below
+    compares with strict '>' so exactly-32^3 grids stay on the single-chip
+    kernels."""
     return int(os.environ.get("MEDIMGEN_RING_MIN_SEQ", 32768))
 
 
@@ -83,7 +85,7 @@ def dot_product_attention(
     mesh = _active_model_mesh()
     if (
         mesh is not None
-        and q.shape[1] >= _ring_min_seq()
+        and q.shape[1] > _ring_min_seq()
         and q.shape[1] % mesh.shape["model"] == 0
         and q.shape == k.shape == v.shape
     ):

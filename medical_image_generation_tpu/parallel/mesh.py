@@ -36,8 +36,18 @@ def maybe_initialize_distributed() -> None:
     )
     if not addr:
         return
-    if jax.process_count() > 1:  # already initialized
-        return
+    # Detect prior initialization WITHOUT touching the XLA backend:
+    # jax.process_count() would itself initialize the backend, after which
+    # jax.distributed.initialize() unconditionally raises RuntimeError
+    # ("must be called before any JAX calls ..."). Inspect the distributed
+    # client state directly instead.
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        if _jax_distributed.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # private API moved; fall through and let initialize() decide
     jax.distributed.initialize()  # reads coordinator/num_processes/id from env
     print(
         f"jax.distributed initialized: process {jax.process_index()}/"
@@ -85,6 +95,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, sharded along axis 0."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def put_batch(batch, mesh: Mesh):
+    """Pad + place a loader batch on the mesh, sharded along axis 0.
+
+    Single-host: plain ``device_put`` of the global batch. Multi-host: the
+    loaders build only ``global_batch // process_count`` samples per host
+    (data/loader.py), and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — per-host patch-sampling and
+    decode work stays constant as hosts are added, instead of every host
+    materializing the full global batch."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(pad_batch_to_devices(batch, mesh), sh)
+    if isinstance(batch, dict):
+        return {k: put_batch(v, mesh) for k, v in batch.items()}
+    batch = np.asarray(batch)
+    # pad the LOCAL rows up to a multiple of this process's share of the
+    # data axis (the data axis is laid out process-contiguously by get_mesh)
+    n_local = max(1, mesh.shape["data"] // jax.process_count())
+    b = batch.shape[0]
+    if b % n_local:
+        pad = n_local - (b % n_local)
+        reps = -(-pad // b)
+        filler = np.concatenate([batch] * reps, axis=0)[:pad]
+        batch = np.concatenate([batch, filler], axis=0)
+    return jax.make_array_from_process_local_data(sh, batch)
 
 
 def pad_batch_to_devices(batch, mesh: Mesh) -> np.ndarray:

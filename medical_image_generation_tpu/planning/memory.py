@@ -8,20 +8,38 @@ autoencoder train step is compiled ahead-of-time and XLA's own memory
 analysis decides whether a candidate fits — deterministic, minutes cheaper,
 and exact for the static shapes the planner produces.
 
-The search ladder keeps the reference's semantics: start at the planner
-batch size; 2D halves toward min 6 with grad_accum=2, 3D halves once to
-min 1 with grad_accum=2 (configuration.py:1504-1526).
+What is probed is the SHIPPED step: ``AutoEncoderTrainer._make_train_step``
+verbatim — device-side augmentation, L1 + perceptual + KL + LSGAN with the
+discriminator update, both optimizers, packed-encoder execution — lowered
+abstractly (no weights materialized). An L1-only proxy would answer "fits"
+for configs whose real adversarial step OOMs (the 3D flagship at 128^3 needs
+remat to fit one v5e at all — BENCH_NOTES.md).
+
+The search ladder keeps the reference's semantics with one TPU-specific rung:
+before shrinking the batch, rematerialization (``use_checkpointing``) is
+enabled — it costs ~7% steps/s but preserves the planner's batch size, which
+the reference cannot do (torch's checkpointing changes its module code).
+Ladder: (batch, no remat) -> (batch, remat) -> halve batch with grad_accum=2
+(2D halves toward min 6, 3D halves once to min 1 — configuration.py:1504-1526).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import copy
+import tempfile
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 DEFAULT_HBM_BYTES = 16 * 1024**3  # v5e
 SAFETY_FRACTION = 0.92  # leave headroom for the runtime + host transfers
+
+
+class MemoryPlan(NamedTuple):
+    batch_size: int
+    grad_accum: int
+    use_checkpointing: bool
 
 
 def device_memory_budget() -> int:
@@ -34,54 +52,70 @@ def device_memory_budget() -> int:
     return int(DEFAULT_HBM_BYTES * SAFETY_FRACTION)
 
 
-def estimate_ae_step_memory(config: dict, batch_size: int) -> Optional[int]:
-    """Peak-memory estimate (bytes) of the adversarial AE train step at a
-    given batch size, from XLA's compile-time analysis. None if the backend
-    exposes no analysis."""
-    from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
-    from medical_image_generation_tpu.training import common
+def lower_ae_train_step(config: dict, batch_size: int,
+                        use_checkpointing: bool = False):
+    """Lower + compile the shipped adversarial AE train step abstractly.
 
-    vae_cfg = config["vae_params"]
-    spatial_dims = vae_cfg["spatial_dims"]
-    patch = list(config["ae_transformations"]["patch_size"])
+    Builds a real ``AutoEncoderTrainer`` from ``config`` (results under a
+    throwaway temp dir), eval-shapes its G/D train states, and AOT-compiles
+    ``_make_train_step(adv_on=True)`` — the exact program ``medimgen_train_
+    autoencoder`` runs after warm-up, which is the peak-memory phase.
+    """
+    from medical_image_generation_tpu.training import common
+    from medical_image_generation_tpu.training.train_autoencoder import (
+        AutoEncoderTrainer,
+    )
+
+    cfg = copy.deepcopy(config)
+    cfg["vae_params"] = dict(cfg["vae_params"],
+                             use_checkpointing=use_checkpointing)
+    cfg["results_path"] = tempfile.mkdtemp(prefix="medimgen_memprobe_")
+    cfg.setdefault("task", "TaskProbe")
+    # a pinned numeric weight keeps the probe off the adapt-at-train-start path
+    if isinstance(cfg.get("kl_weight"), str):
+        cfg["kl_weight"] = 1e-6
+
+    trainer = AutoEncoderTrainer(cfg, dtype=jnp.bfloat16)
+
+    spatial_dims = trainer.spatial_dims
+    patch = list(cfg["ae_transformations"]["patch_size"])
     if spatial_dims == 2 and len(patch) == 3:
         patch = patch[-2:]
+    x_shape = (batch_size, *patch, trainer.in_channels)
 
-    model = AutoencoderKL.from_config(vae_cfg, dtype=jnp.bfloat16)
-    x_shape = (batch_size, *patch, vae_cfg["in_channels"])
-    rng = jax.random.PRNGKey(0)
-
-    def init_fn(r):
-        return model.init(
-            {"params": r}, jnp.zeros((1, *x_shape[1:]), jnp.float32), r
+    def make_states(rng):
+        x = jnp.zeros((1, *x_shape[1:]), jnp.float32)
+        if trainer.latent_space_type == "vae":
+            g_vars = trainer.model.init({"params": rng}, x, rng)
+        else:
+            g_vars = trainer.model.init({"params": rng}, x)
+        d_vars = trainer.discriminator.init(jax.random.fold_in(rng, 1), x)
+        tx_g = common.make_optimizer(1e-4, trainer.clip, trainer.grad_accum)
+        tx_d = common.make_optimizer(1e-4, trainer.clip, trainer.grad_accum)
+        g_state = common.TrainState.create(
+            apply_fn=trainer.model.apply, params=g_vars["params"], tx=tx_g
         )
+        d_state = common.TrainState.create(
+            apply_fn=trainer.discriminator.apply, params=d_vars["params"], tx=tx_d
+        )
+        return g_state, d_state
 
-    shapes = jax.eval_shape(init_fn, rng)
-    params = jax.tree_util.tree_map(
-        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes["params"]
-    )
-    tx = common.make_optimizer(1e-4, 1.0, 1)
-    opt_state = jax.eval_shape(tx.init, params)
-
-    kl_weight = float(config.get("kl_weight", 1e-6))
-
-    def train_step(params, opt_state, batch, r):
-        def loss_fn(p):
-            recon, mu, sigma = model.apply({"params": p}, batch, r)
-            rec = jnp.mean(jnp.abs(recon - batch))
-            kl = common.kl_loss(mu, sigma) * kl_weight
-            return rec + kl
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    batch_sds = jax.ShapeDtypeStruct(x_shape, jnp.bfloat16)
+    g_abs, d_abs = jax.eval_shape(make_states, jax.random.PRNGKey(0))
+    batch_sds = jax.ShapeDtypeStruct(x_shape, jnp.float32)  # loader emits fp32
     rng_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    step = trainer._make_train_step(adv_on=True)
+    with trainer.mesh:
+        return step.lower(g_abs, d_abs, batch_sds, rng_sds).compile()
+
+
+def estimate_ae_step_memory(config: dict, batch_size: int,
+                            use_checkpointing: bool = False) -> Optional[int]:
+    """Peak-memory estimate (bytes) of the SHIPPED adversarial AE train step
+    at a given batch size, from XLA's compile-time analysis. None if the
+    backend exposes no analysis."""
     try:
-        lowered = jax.jit(train_step).lower(params, opt_state, batch_sds, rng_sds)
-        compiled = lowered.compile()
+        compiled = lower_ae_train_step(config, batch_size, use_checkpointing)
         analysis = compiled.memory_analysis()
         if analysis is None:
             return None
@@ -103,44 +137,57 @@ def auto_select_hyperparams(
     init_batch_size: int,
     init_grad_accum: int = 1,
     budget_bytes: Optional[int] = None,
-) -> Tuple[int, int]:
-    """Batch size + grad accumulation that fit this chip (reference ladder
-    semantics, configuration.py:1448-1526)."""
+) -> MemoryPlan:
+    """Batch size + grad accumulation + remat that fit this chip (reference
+    ladder semantics, configuration.py:1448-1526, with a remat rung before
+    the first batch halving — see module docstring)."""
     assert model_type in ("2d", "3d")
     budget = budget_bytes if budget_bytes is not None else device_memory_budget()
     min_batch = 6 if model_type == "2d" else 1
 
-    def fits(bs: int) -> bool:
-        est = estimate_ae_step_memory(config, bs)
+    def fits(bs: int, remat: bool) -> Optional[bool]:
+        est = estimate_ae_step_memory(config, bs, use_checkpointing=remat)
         if est is None:
-            return True  # no analysis available: trust the planner default
-        print(f"  batch {bs}: estimated peak {est / 1e9:.2f} GB (budget {budget / 1e9:.2f} GB)")
+            return None  # no analysis available: trust the planner default
+        print(
+            f"  batch {bs}{' +remat' if remat else '':s}: estimated peak "
+            f"{est / 1e9:.2f} GB (budget {budget / 1e9:.2f} GB)"
+        )
         return est <= budget
 
     batch, accum = init_batch_size, init_grad_accum
-    if fits(batch):
-        return batch, accum
+    first = fits(batch, False)
+    if first is None or first:
+        return MemoryPlan(batch, accum, False)
 
+    # rung 2: rematerialization at the planner's batch size — the fallback
+    # planner.py's use_checkpointing comment promises
+    if fits(batch, True):
+        return MemoryPlan(batch, accum, True)
+
+    # rung 3: shrink the batch (remat stays on), grad_accum=2 preserves the
+    # effective batch as in the reference ladder
     if model_type == "2d":
         accum = 2
         while batch > min_batch:
             batch //= 2
             if batch <= min_batch:
                 break
-            if fits(batch):
-                return batch, accum
+            if fits(batch, True):
+                return MemoryPlan(batch, accum, True)
         batch = max(batch, min_batch)
-        if not fits(batch):
+        if not fits(batch, True):
             print(
                 f"Warning! 2D model may not fit even at batch {batch} "
-                f"(grad_accum {accum})."
+                f"(grad_accum {accum}, remat on)."
             )
-        return batch, accum
+        return MemoryPlan(batch, accum, True)
 
     batch = max(min_batch, batch // 2)
     accum = 2
-    if not fits(batch):
+    if batch < init_batch_size and fits(batch, True) is False:
         print(
-            f"Warning! 3D model may not fit even at batch {batch} (grad_accum {accum})."
+            f"Warning! 3D model may not fit even at batch {batch} "
+            f"(grad_accum {accum}, remat on)."
         )
-    return batch, accum
+    return MemoryPlan(batch, accum, True)

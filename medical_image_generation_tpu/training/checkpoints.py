@@ -43,13 +43,66 @@ def save_checkpoint(checkpoints_dir: str, name: str, payload: Dict[str, Any]) ->
     os.rename(tmp, path)
 
 
+def _migrate_groupnorm_params(tree):
+    """Collapse the pre-round-2 GroupNorm param nesting on load.
+
+    The round-2 folded GroupNorm (models/blocks.py) declares its scale/bias
+    directly, moving params from ``.../GroupNorm_k/GroupNorm_0/{scale,bias}``
+    (the old flax ``nn.GroupNorm`` submodule) to ``.../GroupNorm_k/{scale,
+    bias}``. Checkpoints written before that change would otherwise fail with
+    an opaque param-structure mismatch at apply time. Returns (migrated_tree,
+    n_collapsed)."""
+    n = 0
+
+    def rec(node):
+        nonlocal n
+        if not isinstance(node, dict):
+            return node
+        if (
+            set(node.keys()) == {"GroupNorm_0"}
+            and isinstance(node["GroupNorm_0"], dict)
+            and set(node["GroupNorm_0"].keys()) <= {"scale", "bias"}
+        ):
+            n += 1
+            return dict(node["GroupNorm_0"])
+        return {k: rec(v) for k, v in node.items()}
+
+    return rec(tree), n
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Restore a payload; with ``target`` given, restores with matching
-    structure/dtypes (needed for optimizer states)."""
+    structure/dtypes (needed for optimizer states).
+
+    Pre-round-2 checkpoints (nested ``GroupNorm_0`` param level) are migrated
+    transparently: on a structure mismatch the payload is restored raw, the
+    legacy nesting collapsed, and the result re-validated against ``target``."""
     ckptr = ocp.StandardCheckpointer()
-    if target is not None:
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
+    try:
         return ckptr.restore(os.path.abspath(path), target=target)
-    return ckptr.restore(os.path.abspath(path))
+    except Exception as e:
+        raw = ckptr.restore(os.path.abspath(path))
+        migrated, n = _migrate_groupnorm_params(raw)
+        if n == 0:
+            raise
+        t_struct = jax.tree_util.tree_structure(target)
+        m_struct = jax.tree_util.tree_structure(migrated)
+        if t_struct != m_struct:
+            raise RuntimeError(
+                f"checkpoint {path} uses the pre-round-2 GroupNorm param "
+                f"layout (nested GroupNorm_0); automatic migration collapsed "
+                f"{n} entries but the structure still does not match the "
+                f"current model — retrain or convert the checkpoint manually"
+            ) from e
+        print(
+            f"checkpoint {path}: migrated {n} legacy GroupNorm_0 param "
+            f"nestings to the round-2 folded layout"
+        )
+        return jax.tree_util.tree_map(
+            lambda t, v: np.asarray(v, dtype=np.asarray(t).dtype), target, migrated
+        )
 
 
 def save_loss_dict(save_path: str, loss_dict: Dict[str, list]) -> None:

@@ -31,12 +31,24 @@ class EMATrainState(train_state.TrainState):
 
     ema_params: Any = None
 
-    def update_ema(self, decay: float) -> "EMATrainState":
-        new_ema = jax.tree_util.tree_map(
-            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
-            self.ema_params,
-            self.params,
-        )
+    def update_ema(self, decay: float, synced=None) -> "EMATrainState":
+        """EMA step. ``synced`` (bool scalar or None) gates the update under
+        gradient accumulation: optax.MultiSteps applies the real parameter
+        update only every k-th microstep, so updating the EMA on skip-steps
+        would shrink the effective decay horizon by the accumulation factor.
+        Pass ``multisteps_synced(state.opt_state)`` after apply_gradients;
+        None (no accumulation) updates unconditionally."""
+
+        def do(ema):
+            return jax.tree_util.tree_map(
+                lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+                ema,
+                self.params,
+            )
+
+        if synced is None:
+            return self.replace(ema_params=do(self.ema_params))
+        new_ema = jax.lax.cond(synced, do, lambda e: e, self.ema_params)
         return self.replace(ema_params=new_ema)
 
 
@@ -100,6 +112,15 @@ def make_optimizer(
     if grad_accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulate_steps)
     return tx
+
+
+def multisteps_synced(opt_state):
+    """After ``apply_gradients`` on a MultiSteps optimizer: True iff the
+    accumulated update was just applied (``mini_step`` wrapped to 0). Returns
+    None when the optimizer has no MultiSteps wrapper (every step syncs)."""
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state.mini_step == 0
+    return None
 
 
 def mu_dtype_from_config(config) -> Optional[jnp.dtype]:

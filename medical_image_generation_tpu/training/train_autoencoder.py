@@ -45,10 +45,9 @@ from medical_image_generation_tpu.models.discriminator import (
 from medical_image_generation_tpu.models.perceptual import PerceptualLoss
 from medical_image_generation_tpu.models.vqvae import VQVAE
 from medical_image_generation_tpu.parallel.mesh import (
-    batch_sharding,
     get_mesh,
     maybe_initialize_distributed,
-    pad_batch_to_devices,
+    put_batch,
     replicated_sharding,
 )
 from medical_image_generation_tpu.parallel.sharding import place_train_state
@@ -64,6 +63,17 @@ from medical_image_generation_tpu.utils.profiling import (
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def parse_kl_weight(kw) -> Tuple[bool, float]:
+    """(auto?, value): 'auto' defers to adapt_kl_loss_weight at train start
+    (reference train_autoencoder.py:295-328); a number (or None -> 1e-6)
+    pins the weight."""
+    if isinstance(kw, str):
+        if kw.lower() == "auto":
+            return True, 1e-6
+        return False, float(kw)
+    return False, float(1e-6 if kw is None else kw)
 
 
 class AutoEncoderTrainer:
@@ -101,7 +111,12 @@ class AutoEncoderTrainer:
 
         self.adv_weight = float(config.get("adv_weight", 0.01))
         self.perc_weight = float(config.get("perc_weight", 0.5))
-        self.kl_weight = float(config.get("kl_weight", 1e-6))
+        # kl_weight: auto -> measure the KL magnitude at train start and set
+        # kl_weight = 0.001 / 10^floor(log10(mean KL)) (reference
+        # train_autoencoder.py:295-328); a number pins it
+        self.auto_kl_weight, self.kl_weight = parse_kl_weight(
+            config.get("kl_weight", 1e-6)
+        )
         self.q_weight = float(config.get("q_weight", 1.0))
         self.warm_up_epochs = int(config.get("autoencoder_warm_up_epochs", 5))
         self.n_epochs = int(config.get("n_epochs", 100))
@@ -240,10 +255,9 @@ class AutoEncoderTrainer:
         (reference train_autoencoder.py:295-328)."""
         import math
 
-        if self.config.get("kl_weight") is not None:
+        if not (self.auto_kl_weight and self.latent_space_type == "vae"):
             return
         print("Setting KL loss weight from measured KL...")
-        bsh = batch_sharding(self.mesh)
 
         @jax.jit
         def kl_of(params, batch, rng):
@@ -253,7 +267,7 @@ class AutoEncoderTrainer:
         total, n = 0.0, 0
         for i, batch in enumerate(val_loader):
             batch = unpack_batch(batch)[0]  # AE ignores class labels
-            batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+            batch = put_batch(batch, self.mesh)
             total += float(kl_of(g_state.params, batch, jax.random.PRNGKey(i)))
             n += 1
         mean_kl = total / max(n, 1)
@@ -270,10 +284,13 @@ class AutoEncoderTrainer:
         sample = unpack_batch(next(iter(val_loader)))[0]
         g_state, d_state = self._build_states(sample)
         val_step = self._make_val_step()
-        bsh = batch_sharding(self.mesh)
 
         if self.config.get("load_model_path"):
             g_state, d_state = self._restore(g_state, d_state)
+
+        # must run before the first train-step trace: the loss closure bakes
+        # self.kl_weight in as a Python constant
+        self.adapt_kl_loss_weight(g_state, val_loader)
 
         base_rng = jax.random.PRNGKey(self.seed + 1234)
         step_counter = 0
@@ -294,9 +311,7 @@ class AutoEncoderTrainer:
                 desc=f"Epoch {epoch + 1}",
             ):
                 batch = unpack_batch(batch)[0]
-                batch = jax.device_put(
-                    pad_batch_to_devices(batch, self.mesh), bsh
-                )
+                batch = put_batch(batch, self.mesh)
                 rng = jax.random.fold_in(base_rng, step_counter)
                 g_state, d_state, metrics = train_step(g_state, d_state, batch, rng)
                 epoch_metrics.append(metrics)
@@ -312,7 +327,7 @@ class AutoEncoderTrainer:
             last_pair: Optional[Tuple[np.ndarray, np.ndarray]] = None
             for batch in val_loader:
                 batch = unpack_batch(batch)[0]
-                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                batch = put_batch(batch, self.mesh)
                 loss, recon = val_step(g_state, batch)
                 val_losses.append(float(loss))
                 last_pair = (np.asarray(batch[0]), np.asarray(recon[0]))

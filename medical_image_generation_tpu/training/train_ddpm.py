@@ -36,10 +36,9 @@ from medical_image_generation_tpu.diffusion.sampler import (
 from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
 from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
 from medical_image_generation_tpu.parallel.mesh import (
-    batch_sharding,
     get_mesh,
     maybe_initialize_distributed,
-    pad_batch_to_devices,
+    put_batch,
 )
 from medical_image_generation_tpu.parallel.sharding import place_train_state
 from medical_image_generation_tpu.training import checkpoints as ckpt
@@ -162,7 +161,10 @@ class DDPMTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
             if self.ema_decay:
-                state = state.update_ema(float(self.ema_decay))
+                state = state.update_ema(
+                    float(self.ema_decay),
+                    synced=common.multisteps_synced(state.opt_state),
+                )
             return state, loss
 
         return jax.jit(step, donate_argnums=(0,))
@@ -253,7 +255,6 @@ class DDPMTrainer:
         state = self._build_state(steps_per_epoch=len(train_loader))
         train_step = self._make_train_step()
         val_step = self._make_val_step()
-        bsh = batch_sharding(self.mesh)
 
         if self.config.get("load_model_path"):
             state = self._restore(state)
@@ -272,7 +273,7 @@ class DDPMTrainer:
                 train_loader, show_bar, total=len(train_loader),
                 desc=f"Epoch {epoch + 1}",
             ):
-                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                batch = put_batch(batch, self.mesh)
                 rng = jax.random.fold_in(base_rng, step_counter)
                 state, loss = train_step(state, batch, rng)
                 losses.append(loss)
@@ -282,7 +283,7 @@ class DDPMTrainer:
 
             val_losses = []
             for i, batch in enumerate(val_loader):
-                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                batch = put_batch(batch, self.mesh)
                 rng = jax.random.fold_in(base_rng, 10_000_000 + epoch * 1000 + i)
                 val_losses.append(float(val_step(state, batch, rng)))
             val_loss = float(np.mean(val_losses))

@@ -46,10 +46,9 @@ from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
 from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
 from medical_image_generation_tpu.models.vqvae import VQVAE
 from medical_image_generation_tpu.parallel.mesh import (
-    batch_sharding,
     get_mesh,
     maybe_initialize_distributed,
-    pad_batch_to_devices,
+    put_batch,
 )
 from medical_image_generation_tpu.parallel.sharding import place_train_state
 from medical_image_generation_tpu.training import checkpoints as ckpt
@@ -242,7 +241,10 @@ class LDMTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
             if self.ema_decay:
-                state = state.update_ema(float(self.ema_decay))
+                state = state.update_ema(
+                    float(self.ema_decay),
+                    synced=common.multisteps_synced(state.opt_state),
+                )
             return state, loss
 
         return jax.jit(step, donate_argnums=(0,))
@@ -410,11 +412,19 @@ class LDMTrainer:
             "ms_ssim_std": pw["ms_ssim_std"],
             "n_pairs": pw["n_pairs"],
         }
+        # MMD over the same extractor features — the reference imports MONAI's
+        # MMDMetric (train_ldm.py:32) but never calls it; here ``eval_mmd:
+        # true`` makes it a real metric
+        if self.config.get("eval_mmd"):
+            from medical_image_generation_tpu.eval.mmd import mmd_from_features
+
+            metrics["mmd"] = mmd_from_features(feats_real, feats_fake)
         print(
             f"FID: {metrics['fid']:.4f} - "
             f"MS-SSIM: {metrics['ms_ssim']:.4f} +- {metrics['ms_ssim_std']:.4f} - "
             f"SSIM: {metrics['ssim']:.4f} +- {metrics['ssim_std']:.4f} "
             f"({metrics['n_pairs']} pairs)"
+            + (f" - MMD: {metrics['mmd']:.6f}" if "mmd" in metrics else "")
         )
         return metrics
 
@@ -431,7 +441,6 @@ class LDMTrainer:
         state = self._build_state(steps_per_epoch=len(train_loader))
         train_step = self._make_train_step()
         val_step = self._make_val_step()
-        bsh = batch_sharding(self.mesh)
         ae_params = self.ae_params
 
         if self.config.get("load_model_path"):
@@ -451,7 +460,7 @@ class LDMTrainer:
                 train_loader, show_bar, total=len(train_loader),
                 desc=f"Epoch {epoch + 1}",
             ):
-                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                batch = put_batch(batch, self.mesh)
                 rng = jax.random.fold_in(base_rng, step_counter)
                 state, loss = train_step(state, ae_params, batch, rng)
                 losses.append(loss)
@@ -461,7 +470,7 @@ class LDMTrainer:
 
             val_losses = []
             for i, batch in enumerate(val_loader):
-                batch = jax.device_put(pad_batch_to_devices(batch, self.mesh), bsh)
+                batch = put_batch(batch, self.mesh)
                 rng = jax.random.fold_in(base_rng, 10_000_000 + epoch * 1000 + i)
                 val_losses.append(float(val_step(state, ae_params, batch, rng)))
             val_loss = float(np.mean(val_losses))

@@ -181,3 +181,48 @@ class TestEMA:
         for _ in range(100):
             state = state.update_ema(0.9)
         assert float(jnp.abs(state.ema_params["w"] - 1.0).max()) < 1e-4
+
+    def test_ema_skips_multisteps_microsteps(self):
+        """Under grad_accum=2 the EMA must advance only on sync steps —
+        updating on MultiSteps skip-steps would halve the effective decay
+        horizon (VERDICT round-2 item 7)."""
+        import optax
+
+        from medical_image_generation_tpu.training import common
+
+        params = {"w": jnp.zeros((4,))}
+        tx = common.make_optimizer(1.0, grad_clip_max_norm=None,
+                                   grad_accumulate_steps=2)
+        state = common.EMATrainState.create(
+            apply_fn=lambda *a: None, params=params, tx=tx,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+        grads = {"w": -jnp.ones((4,))}
+        decay = 0.5
+
+        def step(state):
+            state = state.apply_gradients(grads=grads)
+            return state.update_ema(
+                decay, synced=common.multisteps_synced(state.opt_state)
+            )
+
+        # microstep 1: accumulate only — params and EMA unchanged
+        state = step(state)
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0)
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.0)
+        # microstep 2: sync — adam applies an update, EMA takes ONE step
+        state = step(state)
+        p = float(state.params["w"][0])
+        assert p != 0.0
+        np.testing.assert_allclose(
+            np.asarray(state.ema_params["w"]), (1 - decay) * p, rtol=1e-6
+        )
+
+    def test_multisteps_synced_none_without_accumulation(self):
+        import optax
+
+        from medical_image_generation_tpu.training import common
+
+        tx = common.make_optimizer(1.0, grad_accumulate_steps=1)
+        state = tx.init({"w": jnp.zeros((2,))})
+        assert common.multisteps_synced(state) is None

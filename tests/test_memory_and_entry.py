@@ -40,21 +40,94 @@ class TestMemoryAnalysis:
         big = estimate_ae_step_memory(cfg, 8)
         assert big > small
 
+    def test_probe_matches_shipped_trainer_step(self, tmp_path):
+        """VERDICT round-2 item 2: the probe must model the REAL step. Lower
+        the actual AutoEncoderTrainer G+D step independently and check the
+        probe's estimate is within 15% of its XLA memory analysis."""
+        import jax.numpy as jnp
+
+        from medical_image_generation_tpu.training import common
+        from medical_image_generation_tpu.training.train_autoencoder import (
+            AutoEncoderTrainer,
+        )
+
+        cfg = tiny_config()
+        est = estimate_ae_step_memory(cfg, 4)
+        if est is None:
+            pytest.skip("backend exposes no memory analysis")
+
+        cfg = dict(cfg, results_path=str(tmp_path / "probe_ref"))
+        trainer = AutoEncoderTrainer(cfg, dtype=jnp.bfloat16)
+        patch = list(cfg["ae_transformations"]["patch_size"])[-2:]
+        x_shape = (4, *patch, trainer.in_channels)
+
+        def make_states(rng):
+            x = jnp.zeros((1, *x_shape[1:]), jnp.float32)
+            g_vars = trainer.model.init({"params": rng}, x, rng)
+            d_vars = trainer.discriminator.init(jax.random.fold_in(rng, 1), x)
+            tx = common.make_optimizer(1e-4, trainer.clip, trainer.grad_accum)
+            g = common.TrainState.create(
+                apply_fn=trainer.model.apply, params=g_vars["params"], tx=tx
+            )
+            d = common.TrainState.create(
+                apply_fn=trainer.discriminator.apply, params=d_vars["params"],
+                tx=common.make_optimizer(1e-4, trainer.clip, trainer.grad_accum),
+            )
+            return g, d
+
+        g_abs, d_abs = jax.eval_shape(make_states, jax.random.PRNGKey(0))
+        step = trainer._make_train_step(adv_on=True)
+        with trainer.mesh:
+            compiled = step.lower(
+                g_abs, d_abs,
+                jax.ShapeDtypeStruct(x_shape, jnp.float32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+            ).compile()
+        a = compiled.memory_analysis()
+        want = (a.temp_size_in_bytes + a.argument_size_in_bytes
+                + a.output_size_in_bytes - a.alias_size_in_bytes)
+        assert abs(est - want) <= 0.15 * want
+
+    def test_remat_reduces_estimate(self):
+        cfg = tiny_config()
+        plain = estimate_ae_step_memory(cfg, 8, use_checkpointing=False)
+        if plain is None:
+            pytest.skip("backend exposes no memory analysis")
+        remat = estimate_ae_step_memory(cfg, 8, use_checkpointing=True)
+        assert remat < plain
+
     def test_ladder_accepts_fitting_batch(self):
         cfg = tiny_config()
-        bs, accum = auto_select_hyperparams(cfg, "2d", init_batch_size=8,
-                                            budget_bytes=10**12)
-        assert (bs, accum) == (8, 1)
+        plan = auto_select_hyperparams(cfg, "2d", init_batch_size=8,
+                                       budget_bytes=10**12)
+        assert (plan.batch_size, plan.grad_accum, plan.use_checkpointing) == (
+            8, 1, False)
+
+    def test_ladder_enables_remat_before_halving(self):
+        """The promised planner fallback (planner.py use_checkpointing note):
+        when the no-remat step exceeds budget but the remat step fits, keep
+        the batch and flip remat on."""
+        cfg = tiny_config()
+        plain = estimate_ae_step_memory(cfg, 8, use_checkpointing=False)
+        if plain is None:
+            pytest.skip("backend exposes no memory analysis")
+        remat = estimate_ae_step_memory(cfg, 8, use_checkpointing=True)
+        assert remat < plain
+        plan = auto_select_hyperparams(cfg, "3d", init_batch_size=8,
+                                       budget_bytes=(plain + remat) // 2)
+        assert plan == (8, 1, True)
 
     def test_ladder_halves_on_tight_budget(self):
         cfg = tiny_config()
-        est = estimate_ae_step_memory(cfg, 24)
+        est = estimate_ae_step_memory(cfg, 24, use_checkpointing=True)
         if est is None:
             pytest.skip("backend exposes no memory analysis")
-        # budget below the batch-24 requirement forces the ladder down
-        bs, accum = auto_select_hyperparams(cfg, "2d", init_batch_size=24,
-                                            budget_bytes=est - 1)
-        assert bs < 24 and accum == 2
+        # budget below even the remat batch-24 requirement forces the ladder
+        # down to smaller batches with accumulation
+        plan = auto_select_hyperparams(cfg, "2d", init_batch_size=24,
+                                       budget_bytes=est - 1)
+        assert plan.batch_size < 24 and plan.grad_accum == 2
+        assert plan.use_checkpointing
 
 
 class TestGraftEntry:

@@ -46,6 +46,53 @@ class TestMesh:
         assert mesh.shape["model"] == 2
         assert mesh.shape["data"] == len(jax.devices()) // 2
 
+    def test_put_batch_single_host(self):
+        from medical_image_generation_tpu.parallel.mesh import put_batch
+
+        mesh = get_mesh()
+        batch = np.arange(2 * 4, dtype=np.float32).reshape(2, 4)
+        out = put_batch(batch, mesh)
+        assert out.shape[0] % mesh.shape["data"] == 0
+        np.testing.assert_allclose(np.asarray(out)[:2], batch)
+
+    def test_put_batch_dict(self):
+        from medical_image_generation_tpu.parallel.mesh import put_batch
+
+        mesh = get_mesh()
+        batch = {"image": np.ones((2, 4), np.float32),
+                 "class": np.zeros((2,), np.int32)}
+        out = put_batch(batch, mesh)
+        assert set(out) == {"image", "class"}
+        assert out["image"].shape[0] == out["class"].shape[0]
+
+    def test_maybe_initialize_distributed_noop_without_env(self, monkeypatch):
+        from medical_image_generation_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("MEDIMGEN_COORDINATOR_ADDRESS", raising=False)
+        maybe_initialize_distributed()  # must not raise or init anything
+
+    def test_maybe_initialize_skips_when_client_present(self, monkeypatch):
+        """ADVICE round-2 (medium): the already-initialized check must not
+        touch the XLA backend (jax.process_count() would), and must detect a
+        live distributed client without calling initialize() again."""
+        from jax._src import distributed as jdist
+
+        from medical_image_generation_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        monkeypatch.setenv("MEDIMGEN_COORDINATOR_ADDRESS", "localhost:1234")
+        monkeypatch.setattr(jdist.global_state, "client", object(), raising=False)
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda *a, **k: called.append(1)
+        )
+        maybe_initialize_distributed()
+        assert not called
+
 
 class TestDataParallelConsistency:
     def test_sharded_loss_matches_single_device(self):

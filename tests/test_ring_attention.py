@@ -34,6 +34,42 @@ class TestRingAttention:
         ref = _xla_attention(q, q, q, D**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_gradients_match_full_attention(self, n_shards):
+        """VERDICT round-2 item 6: the training path differentiates through
+        shard_map + fori_loop + ppermute; pin d(q,k,v) against grads through
+        the dense XLA reference."""
+        mesh = get_mesh(model_parallel=n_shards)
+        B, S, H, D = 2, 32, 2, 8
+        rng = jax.random.split(jax.random.PRNGKey(7), 4)
+        q = jax.random.normal(rng[0], (B, S, H, D))
+        k = jax.random.normal(rng[1], (B, S, H, D))
+        v = jax.random.normal(rng[2], (B, S, H, D))
+        w = jax.random.normal(rng[3], (B, S, H, D))  # non-uniform cotangent
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh) * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_attention(q, k, v, D**-0.5) * w)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for got, want, name in zip(g_ring, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=5e-5,
+                err_msg=f"d{name} mismatch at n_shards={n_shards}",
+            )
+
+    def test_gradients_under_jit(self):
+        mesh = get_mesh(model_parallel=4)
+        B, S, H, D = 1, 16, 1, 8
+        q = jax.random.normal(jax.random.PRNGKey(3), (B, S, H, D))
+
+        g = jax.jit(jax.grad(lambda x: jnp.sum(ring_attention(x, x, x, mesh) ** 2)))(q)
+        g_ref = jax.grad(lambda x: jnp.sum(_xla_attention(x, x, x, D**-0.5) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5)
+
     def test_rejects_indivisible_sequence(self):
         mesh = get_mesh(model_parallel=4)
         q = jnp.zeros((1, 30, 1, 8))

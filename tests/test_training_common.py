@@ -72,3 +72,145 @@ class TestLRSchedules:
         fn = common.make_lr_schedule(3e-4, None, None, 250)
         assert float(fn(0)) == pytest.approx(3e-4)
         assert float(fn(10**6)) == pytest.approx(3e-4)
+
+
+class TestCheckpointGroupNormMigration:
+    """Pre-round-2 checkpoints nest GroupNorm params one level deeper
+    (.../GroupNorm_k/GroupNorm_0/{scale,bias}); loading must collapse that
+    transparently (ADVICE round-2)."""
+
+    def _legacy_and_target(self):
+        legacy = {
+            "g_params": {
+                "encoder": {
+                    "GroupNorm_0": {"GroupNorm_0": {
+                        "scale": np.ones((8,), np.float32),
+                        "bias": np.zeros((8,), np.float32),
+                    }},
+                    "Conv_0": {"kernel": np.ones((3, 3, 2, 8), np.float32)},
+                },
+            },
+            "epoch": 3,
+        }
+        target = {
+            "g_params": {
+                "encoder": {
+                    "GroupNorm_0": {
+                        "scale": np.zeros((8,), np.float32),
+                        "bias": np.zeros((8,), np.float32),
+                    },
+                    "Conv_0": {"kernel": np.zeros((3, 3, 2, 8), np.float32)},
+                },
+            },
+            "epoch": 0,
+        }
+        return legacy, target
+
+    def test_migration_collapses_nesting(self, tmp_path):
+        from medical_image_generation_tpu.training import checkpoints as ckpt
+
+        legacy, target = self._legacy_and_target()
+        ckpt.save_checkpoint(str(tmp_path), "legacy_model", legacy)
+        out = ckpt.load_checkpoint(
+            str(tmp_path / "legacy_model"), target=target
+        )
+        np.testing.assert_allclose(
+            out["g_params"]["encoder"]["GroupNorm_0"]["scale"], 1.0
+        )
+        assert int(out["epoch"]) == 3
+
+    def test_migrate_fn_counts(self):
+        from medical_image_generation_tpu.training.checkpoints import (
+            _migrate_groupnorm_params,
+        )
+
+        legacy, _ = self._legacy_and_target()
+        migrated, n = _migrate_groupnorm_params(legacy)
+        assert n == 1
+        assert "scale" in migrated["g_params"]["encoder"]["GroupNorm_0"]
+        # already-migrated trees pass through untouched
+        again, n2 = _migrate_groupnorm_params(migrated)
+        assert n2 == 0
+
+    def test_current_layout_loads_unchanged(self, tmp_path):
+        from medical_image_generation_tpu.training import checkpoints as ckpt
+
+        _, target = self._legacy_and_target()
+        current = jax.tree_util.tree_map(lambda x: x, target)
+        current["epoch"] = 7
+        ckpt.save_checkpoint(str(tmp_path), "cur_model", current)
+        out = ckpt.load_checkpoint(str(tmp_path / "cur_model"), target=target)
+        assert int(out["epoch"]) == 7
+
+
+class TestAutoKLWeight:
+    """kl_weight: auto wiring (reference train_autoencoder.py:295-328)."""
+
+    def test_parse_kl_weight(self):
+        from medical_image_generation_tpu.training.train_autoencoder import (
+            parse_kl_weight,
+        )
+
+        assert parse_kl_weight("auto") == (True, 1e-6)
+        assert parse_kl_weight("AUTO") == (True, 1e-6)
+        assert parse_kl_weight(1e-7) == (False, 1e-7)
+        assert parse_kl_weight("1e-7") == (False, 1e-7)
+        assert parse_kl_weight(None) == (False, 1e-6)
+
+    def test_adapt_measures_and_sets_weight(self):
+        from medical_image_generation_tpu.models import AutoencoderKL
+        from medical_image_generation_tpu.parallel.mesh import get_mesh
+        from medical_image_generation_tpu.training.train_autoencoder import (
+            AutoEncoderTrainer,
+        )
+
+        from medical_image_generation_tpu.planning.planner import (
+            create_autoencoder_dict,
+        )
+
+        p = create_autoencoder_dict(
+            {
+                "median_shape": (16, 48, 48), "min_shape": (12, 40, 40),
+                "max_shape": (20, 56, 56),
+            },
+            [0], 2,
+        )
+        p["num_channels"] = [8, 16][: len(p["num_channels"])]
+        p.update(norm_num_groups=4, latent_channels=2, num_res_blocks=1,
+                 use_checkpointing=False)
+        model = AutoencoderKL.from_config(p, dtype=jnp.float32)
+        x = jnp.ones((2, 16, 16, 1))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, x, rng)
+
+        tr = AutoEncoderTrainer.__new__(AutoEncoderTrainer)
+        tr.config = {"kl_weight": "auto"}
+        tr.auto_kl_weight = True
+        tr.kl_weight = 1e-6
+        tr.latent_space_type = "vae"
+        tr.model = model
+        tr.mesh = get_mesh()
+
+        state = type("S", (), {"params": variables["params"]})()
+        batches = [np.random.default_rng(0).uniform(size=(8, 16, 16, 1)).astype(np.float32)]
+        with tr.mesh:
+            tr.adapt_kl_loss_weight(state, batches)
+        # weight = 0.001 / 10^floor(log10(mean KL)): a positive power of ten
+        assert tr.kl_weight > 0
+        import math
+
+        log_w = math.log10(tr.kl_weight)
+        assert abs(log_w - round(log_w)) < 1e-9
+
+    def test_pinned_weight_skips_measurement(self):
+        from medical_image_generation_tpu.training.train_autoencoder import (
+            AutoEncoderTrainer,
+        )
+
+        tr = AutoEncoderTrainer.__new__(AutoEncoderTrainer)
+        tr.config = {"kl_weight": 1e-7}
+        tr.auto_kl_weight = False
+        tr.kl_weight = 1e-7
+        tr.latent_space_type = "vae"
+        tr.adapt_kl_loss_weight(None, None)  # must not touch loader/state
+        assert tr.kl_weight == 1e-7
