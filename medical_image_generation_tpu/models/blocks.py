@@ -210,9 +210,59 @@ class Downsample(nn.Module):
         )(x)
 
 
+def fuse_upsample_kernel_axis(W: jax.Array, axis: int) -> jax.Array:
+    """Fold a x2 nearest-neighbor upsample into a 3-tap conv kernel along
+    ``axis``, producing the 4-tap kernel of the equivalent stride-2
+    transposed convolution.
+
+    nearest-up-x2 + 3-tap conv touches only TWO distinct input voxels per
+    output along each upsampled axis (the 3 taps land on duplicated values):
+        out[2x]   = w0*in[x-1] + (w1+w2)*in[x]
+        out[2x+1] = (w0+w1)*in[x] + w2*in[x+1]
+    which is exactly a lhs-dilation-2 conv with taps [w0, w0+w1, w1+w2, w2]
+    and padding (2, 2) — 8 effective taps per 3D output instead of 27
+    (3.4x fewer MACs) and no materialized high-resolution pre-conv tensor.
+    """
+    w0, w1, w2 = (
+        jax.lax.index_in_dim(W, i, axis, keepdims=True) for i in range(3)
+    )
+    return jnp.concatenate([w0, w0 + w1, w1 + w2, w2], axis=axis)
+
+
+def upsample_transposed(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        stride: Sequence[int], dtype) -> jax.Array:
+    """Apply nearest-up-by-``stride`` + SAME 3^nd conv as one fused
+    transposed conv (see fuse_upsample_kernel_axis). ``kernel``: the plain
+    (3,..,3,C,C) conv params; combos are built in fp32 before the compute-
+    dtype cast. Exactly equal in real arithmetic; differs from the two-step
+    form only by one fp rounding of the adjacent-tap sums."""
+    K = kernel
+    pads = []
+    for ax, s in enumerate(stride):
+        if s == 2:
+            K = fuse_upsample_kernel_axis(K, ax)
+            pads.append((2, 2))
+        else:
+            pads.append((1, 1))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, K.shape,
+        ("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5 else ("NHWC", "HWIO", "NHWC"),
+    )
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), K.astype(dtype), (1,) * len(stride), pads,
+        lhs_dilation=tuple(stride), dimension_numbers=dn,
+    )
+    return out + bias.astype(dtype)
+
+
 class Upsample(nn.Module):
     """Nearest-neighbor upsample by per-axis stride factors + 3x3 conv, or
-    transposed conv (reference autoencoderkl_with_strides.py:52-106)."""
+    transposed conv (reference autoencoderkl_with_strides.py:52-106).
+
+    The nearest+conv pair executes as ONE fused transposed conv when every
+    stride is 1 or 2 (upsample_transposed: 3.4x fewer MACs, measured 1.6-1.7x
+    on the flagship shapes — scripts/bench_micro.py); parameter layout is the
+    module's ConvND_0/Conv_0 either way."""
 
     stride: Sequence[int] | int
     kernel_size: Sequence[int] | int = 3
@@ -233,9 +283,15 @@ class Upsample(nn.Module):
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
             )(x)
-        # nearest upsample as ONE reshape->broadcast->reshape (a single
-        # materialization; per-axis jnp.repeat would write the intermediate
-        # once per strided axis)
+        if not self.is_initializing() and all(s in (1, 2) for s in stride):
+            p = (self.variables.get("params", {})
+                 .get("ConvND_0", {}).get("Conv_0"))
+            if p is not None:
+                return upsample_transposed(
+                    x, p["kernel"], p["bias"], stride, self.dtype
+                )
+        # init / fallback: nearest upsample as ONE reshape->broadcast->
+        # reshape, then the SAME-padded conv (creates the params)
         h = x
         if any(s > 1 for s in stride):
             b, *spatial, c = x.shape

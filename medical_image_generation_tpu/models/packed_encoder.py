@@ -116,17 +116,26 @@ def packed_group_norm(h: jax.Array, scale: jax.Array, bias: jax.Array,
     C = h.shape[-1] // pack
     G = num_groups
     Cg = C // G
-    # reduce over the spatial axes FIRST, in the native packed layout (lanes
-    # = pack*C, full width): exposing the tiny per-group channel dim as the
-    # minor axis would lane-pad the fp32 stats intermediate up to 32x
+    # reduce over the spatial axes in the native packed layout (lanes =
+    # pack*C, full width): exposing the tiny per-group channel dim as the
+    # minor axis would lane-pad the fp32 stats intermediate up to 32x.
+    # TWO-STAGE reduction — the two minor-most spatial axes first, then the
+    # rest on the small fp32 partials: a single all-spatial-axes reduce makes
+    # XLA materialize full fp32 copies of the convert and the square (the
+    # round-3 profile showed them as ~610 GiB/s layout copies, ~2 ms each at
+    # the 128^3 level-0); the staged form fuses both into the first reduce
+    # (measured 4.11 -> 3.06 ms fwd at (2,128,128,32,128),
+    # scripts/bench_micro.py)
     spatial_axes = tuple(range(1, h.ndim - 1))
     n_spatial = 1
     for a in spatial_axes:
         n_spatial *= h.shape[a]
-    # independent reductions so neither forces a materialized fp32 copy of
-    # the activation (see blocks.GroupNorm)
-    s1 = jnp.sum(h, axis=spatial_axes, dtype=jnp.float32)  # (B, pack*C)
-    s2 = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=spatial_axes)
+    inner = tuple(range(h.ndim - 3, h.ndim - 1))
+    s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
+    s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
+    rest = tuple(range(1, s1p.ndim - 1))
+    s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
+    s2 = jnp.sum(s2p, axis=rest)
     # fold pack + within-group channels on the tiny (B, pack*C) arrays
     cnt = float(n_spatial * pack * Cg)
     mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt  # (B, G)
@@ -312,42 +321,80 @@ def module_decoder_features(parent, z, *, with_nonlocal_attn: bool,
     return parent.decoder(z)
 
 
-def _packed_nearest_up_x(h: jax.Array, pack: int, s: int) -> jax.Array:
-    """Nearest-neighbor x-upsample by ``s`` on a lane-packed view without
-    leaving the packed domain: out x' maps to in floor(x'/s), expressed as a
-    split-broadcast-merge of the pack dim (s=2, even pack)."""
-    if s == 1:
-        return h
-    assert s == 2 and pack % 2 == 0, (s, pack)
-    lead = h.shape[:-2]
-    XB = h.shape[-2]
-    C = h.shape[-1] // pack
-    # pack index p' = 2*i + r with in position (parity, i); repeat over r
-    v = h.reshape(*lead, XB, 2, pack // 2, C)
-    v = jnp.broadcast_to(v[..., None, :], (*lead, XB, 2, pack // 2, 2, C))
-    return v.reshape(*lead, 2 * XB, pack * C)
+def _pack_upsample_kernel_x(K: jax.Array, pack_in: int) -> jax.Array:
+    """Packed kernel of the x2 fused transposed upsample-conv along the
+    packed axis (see blocks.fuse_upsample_kernel_axis for the 4-tap K4
+    derivation). Output comes packed by ``2*pack_in``:
+
+    The fused map is out[x'] = sum_x K4[2x - x' + 2] * in[x]; with
+    out x' = 2p*b' + p', in x = p*b + q and conv block offset b - b' = kb - 1
+    (kernel block kb, SAME pad 1) the tap index is
+
+        t = 2p*(kb - 1) + 2q - p' + 2,  kept when 0 <= t < 4.
+
+    K: (*k_lead, 3, Ci, Co) -> (*k_lead, 3, pack_in*Ci, 2*pack_in*Co)."""
+    from medical_image_generation_tpu.models.blocks import (
+        fuse_upsample_kernel_axis,
+    )
+
+    K4 = fuse_upsample_kernel_axis(K, K.ndim - 3)  # (*k_lead, 4, Ci, Co)
+    *k_lead, _, Ci, Co = K4.shape
+    P = 2 * pack_in
+    Wp = jnp.zeros((*k_lead, 3, pack_in * Ci, P * Co), K4.dtype)
+    for kb in range(3):
+        for q in range(pack_in):
+            for pp in range(P):
+                t = 2 * pack_in * (kb - 1) + 2 * q - pp + 2
+                if 0 <= t < 4:
+                    Wp = Wp.at[
+                        ..., kb, q * Ci:(q + 1) * Ci, pp * Co:(pp + 1) * Co
+                    ].set(K4[..., t, :, :])
+    return Wp
 
 
 def _packed_upsample(h: jax.Array, p: Dict, stride: Sequence[int],
-                     pack: int, dtype) -> jax.Array:
-    """blocks.Upsample math (nearest repeat per strided axis + 3x3 conv) on
-    the packed view. Leading (non-packed) axes use plain repeat; the packed
-    x axis uses the split-broadcast-merge pattern."""
+                     pack: int, dtype) -> tuple:
+    """blocks.Upsample math on the packed view, executed as ONE fused
+    transposed convolution (the nearest-repeat never materializes): leading
+    strided axes via lhs_dilation with the 4-tap fused kernel, the packed x
+    axis via a pack-doubling packed kernel (_pack_upsample_kernel_x).
+    Returns (out, out_pack) — out_pack is 2*pack when the x axis upsamples."""
     *lead_s, sx = stride
-    for axis, s in enumerate(lead_s):
-        if s > 1:
-            h = jnp.repeat(h, s, axis=axis + 1)
-    if sx > 1:
-        if sx == 2 and pack % 2 == 0:
-            h = _packed_nearest_up_x(h, pack, sx)
-        else:  # rare geometry: fall back through the plain domain
-            C = h.shape[-1] // pack
-            h = jnp.repeat(_repack(h, pack, 1), sx, axis=h.ndim - 2)
-            h = _repack(h, 1, pack)
     k = p["ConvND_0"]["Conv_0"]
-    nd = h.ndim - 2
-    return packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
-                       pack, pack, dtype)
+    from medical_image_generation_tpu.models.blocks import (
+        fuse_upsample_kernel_axis,
+    )
+
+    K = k["kernel"]
+    pads, dil = [], []
+    for ax, s in enumerate(lead_s):
+        if s == 2:
+            K = fuse_upsample_kernel_axis(K, ax)
+            pads.append((2, 2))
+            dil.append(2)
+        else:
+            pads.append((1, 1))
+            dil.append(1)
+    if sx == 2:
+        Kp = _pack_upsample_kernel_x(K, pack)
+        out_pack = 2 * pack
+        pads.append((1, 1))
+        dil.append(1)
+    else:
+        Kp, (lp, rp) = _pack_conv_kernel(K, pack, pack, 1, 1)
+        out_pack = pack
+        pads.append((lp, rp))
+        dil.append(1)
+    dn = lax.conv_dimension_numbers(h.shape, Kp.shape, _dim_numbers(h.ndim))
+    out = lax.conv_general_dilated(
+        h.astype(dtype), Kp.astype(dtype),
+        window_strides=(1,) * (h.ndim - 2),
+        padding=pads,
+        lhs_dilation=tuple(dil),
+        dimension_numbers=dn,
+    )
+    out = out + jnp.tile(k["bias"].astype(dtype), out_pack)
+    return out, out_pack
 
 
 def upsample_packing_viable(*, attention_levels, with_nonlocal_attn,
@@ -409,7 +456,9 @@ def decoder_forward_packed(
             rb += 1
         if level != len(channels) - 1:
             s = tuple(upsample_parameters[level][0])
-            h = _packed_upsample(h, params[f"Upsample_{level}"], s, pack, dtype)
+            h, pack = _packed_upsample(
+                h, params[f"Upsample_{level}"], s, pack, dtype
+            )
 
     h = packed_group_norm(h, params["GroupNorm_0"]["scale"],
                           params["GroupNorm_0"]["bias"],

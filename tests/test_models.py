@@ -251,3 +251,58 @@ class TestThirdNormalization:
         assert mm[0][1] == pytest.approx(1000.0)
         # outlier no longer dominates: most mass not squeezed near zero
         assert np.mean(out > 0.2) > 0.3
+
+
+class TestFusedUpsample:
+    """blocks.Upsample executes nearest-up + 3^d conv as ONE transposed conv
+    (upsample_transposed); pin exact equivalence to the two-step form."""
+
+    @pytest.mark.parametrize("stride", [(2, 2), (1, 2)])
+    def test_2d_matches_two_step(self, stride):
+        from medical_image_generation_tpu.models.blocks import ConvND, Upsample
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 5, 8), jnp.float32)
+        up = Upsample(stride, 3, 1, spatial_dims=2, dtype=jnp.float32)
+        variables = up.init(jax.random.PRNGKey(1), x)
+        got = up.apply(variables, x)
+
+        # reference: explicit nearest repeat + SAME conv with the same params
+        h = np.asarray(x)
+        for ax, s in enumerate(stride):
+            h = np.repeat(h, s, axis=ax + 1)
+        conv = ConvND(x.shape[-1], 3, 1, 1, spatial_dims=2, dtype=jnp.float32)
+        want = conv.apply({"params": variables["params"]["ConvND_0"]}, jnp.asarray(h))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+    def test_3d_matches_two_step(self):
+        from medical_image_generation_tpu.models.blocks import ConvND, Upsample
+
+        stride = (2, 2, 1)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 5, 6, 4), jnp.float32)
+        up = Upsample(stride, 3, 1, spatial_dims=3, dtype=jnp.float32)
+        variables = up.init(jax.random.PRNGKey(3), x)
+        got = up.apply(variables, x)
+        h = np.asarray(x)
+        for ax, s in enumerate(stride):
+            h = np.repeat(h, s, axis=ax + 1)
+        conv = ConvND(x.shape[-1], 3, 1, 1, spatial_dims=3, dtype=jnp.float32)
+        want = conv.apply({"params": variables["params"]["ConvND_0"]}, jnp.asarray(h))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+    def test_gradients_flow_to_kernel(self):
+        from medical_image_generation_tpu.models.blocks import Upsample
+
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 4), jnp.float32)
+        up = Upsample((2, 2), 3, 1, spatial_dims=2, dtype=jnp.float32)
+        variables = up.init(jax.random.PRNGKey(5), x)
+
+        def loss(params):
+            return jnp.sum(up.apply({"params": params}, x) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        k = g["ConvND_0"]["Conv_0"]["kernel"]
+        assert float(jnp.abs(k).max()) > 0
