@@ -36,7 +36,15 @@ def _pad_pairs(padding, ndim: int):
 
 
 class ConvND(nn.Module):
-    """Conv with per-axis kernel/stride/padding over N spatial dims."""
+    """Conv with per-axis kernel/stride/padding over N spatial dims.
+
+    ``__call__(x, x2)`` applies the conv to the VIRTUAL channel
+    concatenation ``[x, x2]`` without materializing it: the kernel is
+    sliced on its input-channel axis and the two partial convolutions are
+    summed. Parameter shapes/names are identical to the concat form (the
+    init path builds them from a real concat), so checkpoints are
+    interchangeable; only the execution differs — no concat buffer, no
+    layout copies around it, in forward or backward."""
 
     features: int
     kernel_size: Sequence[int] | int = 3
@@ -49,8 +57,8 @@ class ConvND(nn.Module):
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
+    def __call__(self, x, x2: Optional[jax.Array] = None):
+        conv = nn.Conv(
             features=self.features,
             kernel_size=_per_axis(self.kernel_size, self.spatial_dims),
             strides=_per_axis(self.strides, self.spatial_dims),
@@ -60,7 +68,38 @@ class ConvND(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
-        )(x)
+        )
+        if x2 is None:
+            return conv(x)
+        if self.is_initializing():
+            return conv(jnp.concatenate([x, x2], axis=-1))
+        p = self.variables["params"]["Conv_0"]
+        K = p["kernel"]
+        c1 = x.shape[-1]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, K[..., :c1, :].shape, _conv_dim_numbers(x.ndim)
+        )
+        strides = _per_axis(self.strides, self.spatial_dims)
+        pads = _pad_pairs(self.padding, self.spatial_dims)
+        dil = _per_axis(self.kernel_dilation, self.spatial_dims)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), K[..., :c1, :].astype(self.dtype),
+            strides, pads, rhs_dilation=dil, dimension_numbers=dn,
+        ) + jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), K[..., c1:, :].astype(self.dtype),
+            strides, pads, rhs_dilation=dil, dimension_numbers=dn,
+        )
+        if self.use_bias:
+            out = out + p["bias"].astype(self.dtype)
+        return out
+
+
+def _conv_dim_numbers(ndim: int):
+    if ndim == 5:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    if ndim == 4:
+        return ("NHWC", "HWIO", "NHWC")
+    return ("NWC", "WIO", "NWC")
 
 
 class GroupNorm(nn.Module):
@@ -85,8 +124,15 @@ class GroupNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
+    def __call__(self, x, x2: Optional[jax.Array] = None):
+        """``__call__(x, x2)`` normalizes the VIRTUAL channel concatenation
+        ``[x, x2]`` and returns the (y, y2) pair: per-part spatial sums are
+        joined at tiny (B, C) size, group statistics (including groups that
+        straddle the part boundary) come out identical to the concat form,
+        and the folded affine is applied per part. No concatenated
+        activation ever exists."""
+        parts = [x] if x2 is None else [x, x2]
+        C = sum(p.shape[-1] for p in parts)
         G = self.num_groups
         assert C % G == 0, f"channels {C} not divisible by {G} groups"
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
@@ -104,8 +150,17 @@ class GroupNorm(nn.Module):
         # two independent reductions, each fusing its own upcast: a shared
         # x.astype(f32) has two consumers, which makes XLA materialize a
         # full fp32 copy of the activation (536 MB at the AE's level-0)
-        s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
-        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes)
+        s1 = jnp.concatenate(
+            [jnp.sum(p, axis=spatial_axes, dtype=jnp.float32) for p in parts],
+            axis=-1,
+        )  # (B, C)
+        s2 = jnp.concatenate(
+            [
+                jnp.sum(jnp.square(p.astype(jnp.float32)), axis=spatial_axes)
+                for p in parts
+            ],
+            axis=-1,
+        )
         cnt = float(n_spatial * (C // G))
         mean = s1.reshape(B, G, C // G).sum(axis=-1) / cnt  # (B, G)
         meansq = s2.reshape(B, G, C // G).sum(axis=-1) / cnt
@@ -118,9 +173,15 @@ class GroupNorm(nn.Module):
         A = rinv_c * scale[None, :]
         b = bias[None, :] - mean_c * A
 
-        shape = (B,) + (1,) * (x.ndim - 2) + (C,)
-        y = x.astype(self.dtype) * A.astype(self.dtype).reshape(shape)
-        return y + b.astype(self.dtype).reshape(shape)
+        outs, off = [], 0
+        for p in parts:
+            cp = p.shape[-1]
+            shape = (B,) + (1,) * (x.ndim - 2) + (cp,)
+            Ap = A[:, off:off + cp].astype(self.dtype).reshape(shape)
+            bp = b[:, off:off + cp].astype(self.dtype).reshape(shape)
+            outs.append(p.astype(self.dtype) * Ap + bp)
+            off += cp
+        return outs[0] if x2 is None else tuple(outs)
 
 
 class ResBlock(nn.Module):
@@ -136,13 +197,30 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb: Optional[jax.Array] = None):
-        in_channels = x.shape[-1]
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, self.dtype)(x)
-        h = nn.silu(h)
-        h = ConvND(
-            self.out_channels, 3, 1, 1, self.spatial_dims, dtype=self.dtype, kernel_init=nn.initializers.lecun_normal()
-        )(h)
+    def __call__(
+        self,
+        x,
+        temb: Optional[jax.Array] = None,
+        skip: Optional[jax.Array] = None,
+    ):
+        """With ``skip``, the block runs on the VIRTUAL concatenation
+        ``[x, skip]`` (the U-Net up-path pattern, reference
+        diffusion_model_unet_with_strides.py:1987-2010) without ever
+        materializing it: the pair-aware GroupNorm/ConvND below carry the
+        two parts separately through norm -> silu -> conv and the 1x1
+        shortcut. Identical params/checkpoint layout to the concat form;
+        saves the concat buffer + layout copies in fwd and bwd."""
+        in_channels = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        gn1 = GroupNorm(self.norm_num_groups, self.norm_eps, self.dtype)
+        conv1 = ConvND(
+            self.out_channels, 3, 1, 1, self.spatial_dims, dtype=self.dtype,
+            kernel_init=nn.initializers.lecun_normal(),
+        )
+        if skip is None:
+            h = conv1(nn.silu(gn1(x)))
+        else:
+            h1, h2 = gn1(x, skip)
+            h = conv1(nn.silu(h1), nn.silu(h2))
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32)(
                 nn.silu(temb)
@@ -152,7 +230,10 @@ class ResBlock(nn.Module):
         h = nn.silu(h)
         h = ConvND(self.out_channels, 3, 1, 1, self.spatial_dims, dtype=self.dtype)(h)
         if in_channels != self.out_channels:
-            x = ConvND(self.out_channels, 1, 1, 0, self.spatial_dims, dtype=self.dtype)(x)
+            sc = ConvND(self.out_channels, 1, 1, 0, self.spatial_dims, dtype=self.dtype)
+            x = sc(x) if skip is None else sc(x, skip)
+        elif skip is not None:
+            raise ValueError("skip path requires a channel-changing shortcut")
         return x + h
 
 
@@ -255,14 +336,81 @@ def upsample_transposed(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     return out + bias.astype(dtype)
 
 
+def _parity_taps(W: jax.Array, axis: int, p: int):
+    """2-tap kernel + padding of output parity ``p`` along an upsampled
+    axis (see fuse_upsample_kernel_axis for the tap algebra):
+        p=0: out[2x]   = w0*in[x-1] + (w1+w2)*in[x]   -> taps [w0, w1+w2], pad (1,0)
+        p=1: out[2x+1] = (w0+w1)*in[x] + w2*in[x+1]   -> taps [w0+w1, w2], pad (0,1)
+    """
+    w0, w1, w2 = (
+        jax.lax.index_in_dim(W, i, axis, keepdims=True) for i in range(3)
+    )
+    if p == 0:
+        return jnp.concatenate([w0, w1 + w2], axis=axis), (1, 0)
+    return jnp.concatenate([w0 + w1, w2], axis=axis), (0, 1)
+
+
+def upsample_subpixel(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                      stride: Sequence[int], dtype) -> jax.Array:
+    """nearest-up-by-``stride`` + SAME 3^nd conv, executed as 2^u dense
+    stride-1 parity convolutions + one interleave (subpixel / depth-to-space
+    decomposition of the equivalent transposed conv).
+
+    Why not lhs_dilation (upsample_transposed): XLA:TPU lowers base-dilated
+    convs by materializing the zero-dilated input, so the MXU spends 8x of
+    its MACs on zeros — measured 59 GF/s on the flagship UNet Upsample_1
+    (round-3 profile). The parity decomposition runs the same useful MACs as
+    dense stride-1 convs (2 effective taps per upsampled axis, zero waste)
+    and pays only one HBM-bandwidth interleave copy for the output.
+    Exactly equal to the two-step form in real arithmetic (same tap sums as
+    fuse_upsample_kernel_axis)."""
+    import itertools
+
+    nd = len(stride)
+    B, *S, C = x.shape
+    xc = x.astype(dtype)
+    outs = []
+    combos = list(itertools.product(
+        *[((0, 1) if s == 2 else (None,)) for s in stride]
+    ))
+    for combo in combos:
+        K = kernel
+        pads = []
+        for ax, p in enumerate(combo):
+            if p is None:
+                pads.append((1, 1))
+            else:
+                K, pad = _parity_taps(K, ax, p)
+                pads.append(pad)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, K.shape,
+            ("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5 else ("NHWC", "HWIO", "NHWC"),
+        )
+        outs.append(jax.lax.conv_general_dilated(
+            xc, K.astype(dtype), (1,) * nd, pads, dimension_numbers=dn,
+        ))
+    t = jnp.stack(outs, axis=-2)  # (B, *S, P, C), P lexicographic parities
+    par = [2 if s == 2 else 1 for s in stride]
+    t = t.reshape(B, *S, *par, C)
+    # interleave each parity factor behind its spatial axis
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + i]
+    perm.append(1 + 2 * nd)
+    t = t.transpose(perm)
+    out = t.reshape(B, *[S[i] * par[i] for i in range(nd)], C)
+    return out + bias.astype(dtype)
+
+
 class Upsample(nn.Module):
     """Nearest-neighbor upsample by per-axis stride factors + 3x3 conv, or
     transposed conv (reference autoencoderkl_with_strides.py:52-106).
 
-    The nearest+conv pair executes as ONE fused transposed conv when every
-    stride is 1 or 2 (upsample_transposed: 3.4x fewer MACs, measured 1.6-1.7x
-    on the flagship shapes — scripts/bench_micro.py); parameter layout is the
-    module's ConvND_0/Conv_0 either way."""
+    The nearest+conv pair executes as ONE subpixel-decomposed transposed
+    conv when every stride is 1 or 2 (upsample_subpixel: 3.4x fewer MACs
+    than nearest+conv and zero dilation waste); parameter layout is the
+    module's ConvND_0/Conv_0 either way.
+    MEDIMGEN_DISABLE_FUSED_UPSAMPLE=1 restores the two-step execution."""
 
     stride: Sequence[int] | int
     kernel_size: Sequence[int] | int = 3
@@ -283,11 +431,13 @@ class Upsample(nn.Module):
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
             )(x)
-        if not self.is_initializing() and all(s in (1, 2) for s in stride):
+        import os as _os
+        if (not self.is_initializing() and all(s in (1, 2) for s in stride)
+                and _os.environ.get("MEDIMGEN_DISABLE_FUSED_UPSAMPLE") != "1"):
             p = (self.variables.get("params", {})
                  .get("ConvND_0", {}).get("Conv_0"))
             if p is not None:
-                return upsample_transposed(
+                return upsample_subpixel(
                     x, p["kernel"], p["bias"], stride, self.dtype
                 )
         # init / fallback: nearest upsample as ONE reshape->broadcast->

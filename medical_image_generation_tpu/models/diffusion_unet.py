@@ -14,6 +14,7 @@ over flattened token grids, `nn.remat` on res blocks for rematerialization.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -247,15 +248,24 @@ class DiffusionUNet(nn.Module):
         if mid_block_additional_residual is not None:
             h = h + mid_block_additional_residual.astype(d)
 
-        # ---- up path with skip concat (reference :1987-2010)
+        # ---- up path with skip concat (reference :1987-2010). The concat
+        # is VIRTUAL by default: ResBlock's pair path (blocks.py) carries
+        # (h, skip) separately through norm/silu/conv with input-channel-
+        # sliced kernels — same params, no concat buffer or layout copies.
+        # MEDIMGEN_DISABLE_SPLIT_SKIP=1 restores the materialized concat.
+        split_skip = os.environ.get("MEDIMGEN_DISABLE_SPLIT_SKIP", "0") != "1"
         for i, level in enumerate(reversed(range(len(self.num_channels)))):
             ch = self.num_channels[level]
             is_final = level == 0
             for _ in range(nrb[level] + 1):
                 skip = skips.pop()
-                h = jnp.concatenate([h, skip.astype(d)], axis=-1)
-                h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
-                        name=f"ResBlock_{rb}")(h, temb)
+                if split_skip:
+                    h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                            name=f"ResBlock_{rb}")(h, temb, skip.astype(d))
+                else:
+                    h = jnp.concatenate([h, skip.astype(d)], axis=-1)
+                    h = res(ch, self.norm_num_groups, 1e-6, sd, dtype=d,
+                            name=f"ResBlock_{rb}")(h, temb)
                 rb += 1
                 if self.attention_levels[level]:
                     h = attn_for(level, h)

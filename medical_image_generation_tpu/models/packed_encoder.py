@@ -108,48 +108,24 @@ def packed_conv(h: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
 
 
 def packed_group_norm(h: jax.Array, scale: jax.Array, bias: jax.Array,
-                      num_groups: int, pack: int, eps: float, dtype) -> jax.Array:
-    """blocks.GroupNorm semantics (fp32 fast-variance stats, folded affine in
-    the compute dtype) on a lane-packed view — packed x positions are just
-    more spatial elements of each true channel."""
-    B = h.shape[0]
-    C = h.shape[-1] // pack
-    G = num_groups
-    Cg = C // G
-    # reduce over the spatial axes in the native packed layout (lanes =
-    # pack*C, full width): exposing the tiny per-group channel dim as the
-    # minor axis would lane-pad the fp32 stats intermediate up to 32x.
-    # TWO-STAGE reduction — the two minor-most spatial axes first, then the
-    # rest on the small fp32 partials: a single all-spatial-axes reduce makes
-    # XLA materialize full fp32 copies of the convert and the square (the
-    # round-3 profile showed them as ~610 GiB/s layout copies, ~2 ms each at
-    # the 128^3 level-0); the staged form fuses both into the first reduce
-    # (measured 4.11 -> 3.06 ms fwd at (2,128,128,32,128),
-    # scripts/bench_micro.py)
-    spatial_axes = tuple(range(1, h.ndim - 1))
-    n_spatial = 1
-    for a in spatial_axes:
-        n_spatial *= h.shape[a]
-    inner = tuple(range(h.ndim - 3, h.ndim - 1))
-    s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
-    s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
-    rest = tuple(range(1, s1p.ndim - 1))
-    s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
-    s2 = jnp.sum(s2p, axis=rest)
-    # fold pack + within-group channels on the tiny (B, pack*C) arrays
-    cnt = float(n_spatial * pack * Cg)
-    mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt  # (B, G)
-    meansq = s2.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt
-    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
-    rinv = lax.rsqrt(var + eps)  # (B, G)
+                      num_groups: int, pack: int, eps: float, dtype,
+                      fuse_silu: bool = False) -> jax.Array:
+    """blocks.GroupNorm semantics (fp32 fast-variance stats, folded affine)
+    on a lane-packed view — packed x positions are just more spatial
+    elements of each true channel.
 
-    A = rinv[:, :, None] * scale.reshape(G, Cg)[None]  # (B, G, Cg)
-    b = bias.reshape(G, Cg)[None] - mean[:, :, None] * A
-    A = jnp.tile(A.reshape(B, C), (1, pack))
-    b = jnp.tile(b.reshape(B, C), (1, pack))
-    shape = (B,) + (1,) * (h.ndim - 2) + (pack * C,)
-    return (h.astype(dtype) * A.astype(dtype).reshape(shape)
-            + b.astype(dtype).reshape(shape))
+    Executes via the exact-traffic Pallas stats/apply kernels when the
+    geometry qualifies (ops/pallas_groupnorm.py — the XLA lowering cost
+    ~5.6 ms/instance in fp32 convert copies at the 128^3 level-0, the
+    kernels ~1.3 ms), else via the staged-reduction JAX path. ``fuse_silu``
+    folds the SiLU that follows every ResBlock GroupNorm into the apply
+    pass."""
+    from medical_image_generation_tpu.ops.pallas_groupnorm import (
+        group_norm_packed,
+    )
+
+    return group_norm_packed(h, scale, bias, num_groups, pack, eps, dtype,
+                             fuse_silu)
 
 
 def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
@@ -157,15 +133,13 @@ def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
     """ResBlock math (blocks.ResBlock, no time embedding) on the packed view."""
     hin = h
     h = packed_group_norm(h, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
-                          num_groups, pack, eps, dtype)
-    h = jax.nn.silu(h)
+                          num_groups, pack, eps, dtype, fuse_silu=True)
     k = p["ConvND_0"]["Conv_0"]
     nd = h.ndim - 2
     h = packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
                     pack, pack, dtype)
     h = packed_group_norm(h, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"],
-                          num_groups, pack, eps, dtype)
-    h = jax.nn.silu(h)
+                          num_groups, pack, eps, dtype, fuse_silu=True)
     k = p["ConvND_1"]["Conv_0"]
     h = packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
                     pack, pack, dtype)
@@ -354,44 +328,64 @@ def _pack_upsample_kernel_x(K: jax.Array, pack_in: int) -> jax.Array:
 
 def _packed_upsample(h: jax.Array, p: Dict, stride: Sequence[int],
                      pack: int, dtype) -> tuple:
-    """blocks.Upsample math on the packed view, executed as ONE fused
-    transposed convolution (the nearest-repeat never materializes): leading
-    strided axes via lhs_dilation with the 4-tap fused kernel, the packed x
-    axis via a pack-doubling packed kernel (_pack_upsample_kernel_x).
+    """blocks.Upsample math on the packed view, with no materialized
+    nearest-repeat and no dilation zero-waste: leading strided axes are
+    parity-decomposed into dense stride-1 subpixel convs
+    (blocks._parity_taps — lhs_dilation on TPU executes 2x zero MACs per
+    dilated axis), the packed x axis upsamples through the pack-doubling
+    packed kernel (_pack_upsample_kernel_x), and the parity outputs are
+    interleaved with one reshape/transpose.
     Returns (out, out_pack) — out_pack is 2*pack when the x axis upsamples."""
+    import itertools
+
+    from medical_image_generation_tpu.models.blocks import _parity_taps
+
     *lead_s, sx = stride
     k = p["ConvND_0"]["Conv_0"]
-    from medical_image_generation_tpu.models.blocks import (
-        fuse_upsample_kernel_axis,
-    )
-
-    K = k["kernel"]
-    pads, dil = [], []
-    for ax, s in enumerate(lead_s):
-        if s == 2:
-            K = fuse_upsample_kernel_axis(K, ax)
-            pads.append((2, 2))
-            dil.append(2)
-        else:
+    K0 = k["kernel"]
+    outs = []
+    out_pack = pack
+    combos = list(itertools.product(
+        *[((0, 1) if s == 2 else (None,)) for s in lead_s]
+    ))
+    for combo in combos:
+        K = K0
+        pads = []
+        for ax, pr in enumerate(combo):
+            if pr is None:
+                pads.append((1, 1))
+            else:
+                K, pad = _parity_taps(K, ax, pr)
+                pads.append(pad)
+        if sx == 2:
+            Kp = _pack_upsample_kernel_x(K, pack)
+            out_pack = 2 * pack
             pads.append((1, 1))
-            dil.append(1)
-    if sx == 2:
-        Kp = _pack_upsample_kernel_x(K, pack)
-        out_pack = 2 * pack
-        pads.append((1, 1))
-        dil.append(1)
-    else:
-        Kp, (lp, rp) = _pack_conv_kernel(K, pack, pack, 1, 1)
-        out_pack = pack
-        pads.append((lp, rp))
-        dil.append(1)
-    dn = lax.conv_dimension_numbers(h.shape, Kp.shape, _dim_numbers(h.ndim))
-    out = lax.conv_general_dilated(
-        h.astype(dtype), Kp.astype(dtype),
-        window_strides=(1,) * (h.ndim - 2),
-        padding=pads,
-        lhs_dilation=tuple(dil),
-        dimension_numbers=dn,
+        else:
+            Kp, (lp, rp) = _pack_conv_kernel(K, pack, pack, 1, 1)
+            out_pack = pack
+            pads.append((lp, rp))
+        dn = lax.conv_dimension_numbers(h.shape, Kp.shape,
+                                        _dim_numbers(h.ndim))
+        outs.append(lax.conv_general_dilated(
+            h.astype(dtype), Kp.astype(dtype),
+            window_strides=(1,) * (h.ndim - 2),
+            padding=pads,
+            dimension_numbers=dn,
+        ))
+    B, *S, _ = outs[0].shape
+    Cp = outs[0].shape[-1]
+    nd_lead = len(lead_s)
+    t = jnp.stack(outs, axis=-2)  # (B, *S, P, Cp)
+    par = [2 if s == 2 else 1 for s in lead_s]
+    t = t.reshape(B, *S, *par, 1, Cp)  # trailing 1: packed x has no parity
+    perm = [0]
+    for i in range(nd_lead):
+        perm += [1 + i, 2 + nd_lead + i]
+    perm += [1 + nd_lead, 2 + 2 * nd_lead, 3 + 2 * nd_lead]
+    t = t.transpose(perm)
+    out = t.reshape(
+        B, *[S[i] * par[i] for i in range(nd_lead)], S[nd_lead], Cp
     )
     out = out + jnp.tile(k["bias"].astype(dtype), out_pack)
     return out, out_pack

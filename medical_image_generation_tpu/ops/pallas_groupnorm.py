@@ -1,0 +1,245 @@
+"""Pallas TPU GroupNorm for lane-packed activations — exact-traffic stats
+and apply passes.
+
+Motivation (round-3 profile, BENCH_NOTES.md): at the AE encoder's level-0
+(128^3 x 32ch lane-packed to (2,128,128,32,128) bf16, 268 MB) each GroupNorm
+instance cost ~5.6 ms/step in XLA: the fp32 convert+square feeding the
+variance reduction materialized as two ~610 GiB/s layout copies (~3.6 ms)
+plus a 2.0 ms affine/silu loop fusion that moved ~1.25 GB. The arithmetic
+is trivial — the op is pure HBM traffic — so the only win is to touch the
+bytes exactly once per pass:
+
+* ``_stats`` kernel: reads the bf16 activation ONCE, accumulates per-lane
+  sum and sum-of-squares in fp32 VMEM registers, emits tiny per-block
+  partials. No fp32 copy of the activation ever exists.
+* ``_affine`` kernel: reads the activation ONCE, applies the folded
+  per-(batch, lane) affine in fp32 registers, optionally fuses the SiLU
+  that always follows GroupNorm inside ResBlocks, writes bf16 ONCE.
+
+Minimum traffic: read M + (read M + write M) ~= 3 passes over the
+activation vs ~12.7 passes measured for the XLA lowering — ~1.3 ms vs
+5.6 ms per level-0 instance.
+
+Group semantics (including pack-folding and groups straddling lane blocks)
+stay in plain JAX on the tiny (B, pack*C) statistics vectors — the kernels
+are group-agnostic, which keeps them 10 lines and trivially testable.
+
+Gradients: ``group_norm_packed`` is a ``jax.custom_vjp`` whose backward
+recomputes through the pure-JAX reference implementation (`_jax_impl`) —
+exactly correct, costs one extra recompute in stage-1 AE training (which
+rematerializes anyway); the flagship LDM step only differentiates through
+the U-Net, so its frozen-AE encode pays the fast forward only.
+
+Reference semantics: GroupNorm with fp32 statistics and compute-dtype
+affine apply (blocks.GroupNorm; reference autoencoderkl_with_strides.py
+uses torch GroupNorm in fp32 via autocast exclusion).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_BLOCK_ROWS = 4096
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _block_rows(M: int, Cp: int) -> int:
+    """Largest power-of-2 divisor of M, capped so a block stays ~1 MB."""
+    cap = max(8, (MAX_BLOCK_ROWS * 128) // max(Cp, 128))
+    b = 1
+    while M % (b * 2) == 0 and b * 2 <= cap:
+        b *= 2
+    return b
+
+
+def kernel_supported(h: jax.Array) -> bool:
+    # OPT-IN (round-3 measurement): in isolation the kernels hit exact
+    # traffic (~1.3 ms vs 5.6 ms per level-0 instance), but pallas_call
+    # pins default layouts on its operands, and inside the full encoder
+    # that layout constraint degraded the adjacent packed convolutions
+    # from 191 GF/s to ~61 GF/s (6.0 -> 14.6 ms each) — a large net loss.
+    # Until kernels can follow XLA's chosen activation layouts, the staged
+    # JAX reduction path stays the default.
+    if os.environ.get("MEDIMGEN_ENABLE_PALLAS_GN") != "1":
+        return False
+    if os.environ.get("MEDIMGEN_DISABLE_PALLAS_GN"):
+        return False
+    Cp = h.shape[-1]
+    M = 1
+    for s in h.shape[1:-1]:
+        M *= s
+    if Cp % 128 != 0 or Cp > 512:
+        return False
+    return _block_rows(M, Cp) >= 512
+
+
+def _stats_kernel(x_ref, out_ref):
+    x = x_ref[0].astype(jnp.float32)  # (bm, Cp)
+    s1 = jnp.sum(x, axis=0)
+    s2 = jnp.sum(x * x, axis=0)
+    pad = jnp.zeros_like(s1)
+    out_ref[0, 0] = jnp.stack([s1, s2, pad, pad, pad, pad, pad, pad], axis=0)
+
+
+def lane_stats(x2: jax.Array) -> jax.Array:
+    """x2: (B, M, Cp) -> fp32 (B, 2, Cp): per-lane [sum, sum-of-squares]."""
+    B, M, Cp = x2.shape
+    bm = _block_rows(M, Cp)
+    nb = M // bm
+    partials = pl.pallas_call(
+        _stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nb, 8, Cp), jnp.float32),
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, bm, Cp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, Cp), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * M * Cp,
+            bytes_accessed=B * M * Cp * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=not _on_tpu(),
+    )(x2)
+    return jnp.sum(partials, axis=1)[:, :2, :]
+
+
+def _affine_kernel(x_ref, ab_ref, y_ref, *, act: str):
+    x = x_ref[0].astype(jnp.float32)  # (bm, Cp)
+    y = x * ab_ref[0, 0][None, :] + ab_ref[0, 1][None, :]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def affine_act(x2: jax.Array, A: jax.Array, b: jax.Array, act: str,
+               out_dtype) -> jax.Array:
+    """x2: (B, M, Cp); A/b: fp32 (B, Cp). y = act(x * A + b) in fp32
+    registers, one read + one write of the activation."""
+    B, M, Cp = x2.shape
+    bm = _block_rows(M, Cp)
+    ab = jnp.concatenate(
+        [A[:, None, :], b[:, None, :],
+         jnp.zeros((B, 6, Cp), jnp.float32)], axis=1)  # (B, 8, Cp)
+    return pl.pallas_call(
+        functools.partial(_affine_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((B, M, Cp), out_dtype),
+        grid=(B, M // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, Cp), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Cp), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, Cp), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if act == "none" else 6) * B * M * Cp,
+            bytes_accessed=B * M * Cp
+            * (x2.dtype.itemsize + jnp.dtype(out_dtype).itemsize),
+            transcendentals=0 if act == "none" else B * M * Cp,
+        ),
+        interpret=not _on_tpu(),
+    )(x2, ab)
+
+
+def _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps):
+    """Group statistics + folded affine from per-lane sums — all on tiny
+    (B, pack*C) arrays. Lane layout is pack-major blocks of C (jnp.tile
+    convention of the packed execution path)."""
+    B, Cp = s1.shape
+    C = Cp // pack
+    G = num_groups
+    Cg = C // G
+    cnt = float(n_spatial * pack * Cg)
+    mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt  # (B, G)
+    meansq = s2.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / cnt
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    rinv = jax.lax.rsqrt(var + eps)  # (B, G)
+    A = rinv[:, :, None] * scale.reshape(G, Cg)[None]  # (B, G, Cg)
+    b = bias.reshape(G, Cg)[None] - mean[:, :, None] * A
+    return jnp.tile(A.reshape(B, C), (1, pack)), jnp.tile(b.reshape(B, C), (1, pack))
+
+
+def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
+    """Pure-JAX reference path (and VJP recompute target): staged fp32
+    reductions in the native packed layout, bf16 folded-affine apply."""
+    B = h.shape[0]
+    spatial_axes = tuple(range(1, h.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= h.shape[a]
+    inner = tuple(range(h.ndim - 3, h.ndim - 1))
+    s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
+    s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
+    rest = tuple(range(1, s1p.ndim - 1))
+    s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
+    s2 = jnp.sum(s2p, axis=rest)
+    A, b = _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps)
+    shape = (B,) + (1,) * (h.ndim - 2) + (h.shape[-1],)
+    y = (h.astype(dtype) * A.astype(dtype).reshape(shape)
+         + b.astype(dtype).reshape(shape))
+    return jax.nn.silu(y) if fuse_silu else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def group_norm_packed(h, scale, bias, num_groups, pack, eps, dtype,
+                      fuse_silu=False):
+    """GroupNorm (+ optional fused SiLU) on a lane-packed activation.
+
+    Dispatches to the exact-traffic Pallas kernels when the geometry
+    qualifies (kernel_supported), else to the staged-reduction JAX path.
+    Backward recomputes through the JAX path (exact gradients).
+    """
+    return _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype,
+                         fuse_silu)
+
+
+def _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
+    if not kernel_supported(h):
+        return _jax_impl(h, scale, bias, num_groups, pack, eps, dtype,
+                         fuse_silu)
+    B = h.shape[0]
+    Cp = h.shape[-1]
+    M = 1
+    for s in h.shape[1:-1]:
+        M *= s
+    x2 = h.reshape(B, M, Cp)
+    stats = lane_stats(x2)
+    A, b = _fold_affine(stats[:, 0], stats[:, 1], scale, bias,
+                        num_groups, pack, M, eps)
+    y2 = affine_act(x2, A, b, "silu" if fuse_silu else "none", dtype)
+    return y2.reshape(*h.shape[:-1], Cp)
+
+
+def _gn_vjp_fwd(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
+    out = _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype,
+                        fuse_silu)
+    return out, (h, scale, bias)
+
+
+def _gn_vjp_bwd(num_groups, pack, eps, dtype, fuse_silu, res, g):
+    h, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda hh, ss, bb: _jax_impl(hh, ss, bb, num_groups, pack, eps,
+                                     dtype, fuse_silu),
+        h, scale, bias,
+    )
+    return vjp(g)
+
+
+group_norm_packed.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)

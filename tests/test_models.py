@@ -150,6 +150,40 @@ class TestDiffusionUNet:
         out2 = model.apply(variables, x, jnp.array([999]))
         assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
+    @pytest.mark.parametrize("spatial_dims", [2, 3])
+    def test_split_skip_matches_concat(self, spatial_dims, monkeypatch):
+        """The virtual-concat up path (ResBlock pair execution) must match
+        the materialized-concat form in values AND grads — including the
+        group-straddling channel combos (e.g. 8+16 with 4 groups: group
+        size 6 straddles the part boundary)."""
+        params = small_ddpm_params(spatial_dims)
+        model = DiffusionUNet.from_config(params, dtype=jnp.float32)
+        latent = (16, 16) if spatial_dims == 2 else (8, 16, 16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, *latent, 4))
+        t = jnp.array([7, 500])
+        variables = model.init(jax.random.PRNGKey(0), x, t)
+        # perturb away from zero-init so the output is non-trivial
+        variables = jax.tree_util.tree_map(
+            lambda p: p + 0.01 * np.random.default_rng(0).normal(size=p.shape).astype(p.dtype),
+            variables,
+        )
+
+        def loss(v, xx):
+            return jnp.sum(jnp.square(model.apply(v, xx, t)))
+
+        out_split = model.apply(variables, x, t)
+        g_split = jax.grad(loss, argnums=(0, 1))(variables, x)
+        monkeypatch.setenv("MEDIMGEN_DISABLE_SPLIT_SKIP", "1")
+        out_cat = model.apply(variables, x, t)
+        g_cat = jax.grad(loss, argnums=(0, 1))(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out_split), np.asarray(out_cat), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(g_split), jax.tree_util.tree_leaves(g_cat)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
     def test_class_conditioning(self):
         params = small_ddpm_params(2)
         params["num_class_embeds"] = 3
