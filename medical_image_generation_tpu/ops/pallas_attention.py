@@ -16,14 +16,18 @@ Kernel design (forward):
 * online softmax over K blocks with float32 (m, l, acc) carries on the MXU:
   one jax.lax.fori_loop, no data-dependent shapes.
 
-Backward: custom VJP that recomputes attention with plain XLA einsums —
-correct gradients with the S^2 matrix living in HBM; a fused backward
-kernel is a later optimization.
+Backward: FlashAttention-2-style fused kernels (dQ pass + dK/dV pass) that
+recompute p blockwise from the saved row logsumexp — no S^2 materialization.
+All matmuls keep operands in the model dtype (bf16) with f32 MXU
+accumulation; only p/ds round to bf16 before their matmuls (noise below the
+bf16 output precision).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -31,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
 BLOCK_K = 256
+# backward blocks are tunable independently (MEDIMGEN_ATTN_BWD_BLOCK):
+# the bwd kernels run ~36% MFU at 256 — larger tiles amortize the
+# per-iteration DMA waits and loop overhead
+BWD_BLOCK = int(os.environ.get("MEDIMGEN_ATTN_BWD_BLOCK", "512"))
 NEG_INF = -1e30
 
 
@@ -51,7 +59,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, k_buf, v_buf, sem,
     semaphores.
     """
     b = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    # Keep operands in their native dtype (bf16 in training): the MXU computes
+    # bf16 x bf16 products exactly with f32 accumulation, so dotting bf16
+    # operands with preferred_element_type=f32 is BIT-IDENTICAL to upcasting
+    # first — and ~4x faster (fp32 matmuls multi-pass on the MXU). The scale
+    # is applied to the f32 logits (exact), not to q.
+    q = q_ref[0]  # (BQ, D)
     D = q.shape[-1]
     num_kb = seq_len // block_k
 
@@ -83,18 +96,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, k_buf, v_buf, sem,
         k_dma(slot, kb).wait()
         v_dma(slot, kb).wait()
 
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_buf[slot]
+        v = v_buf[slot]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        )  # (BQ, BK) f32
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        # p rounds to the compute dtype for the MXU; the rounding noise is
+        # below the (bf16) output precision, and l stays exact f32.
         acc = acc * correction + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
 
@@ -167,8 +183,8 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref,
     dq = scale * ds @ k, with delta = rowsum(dO * O).
     """
     b = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]   # native (bf16) — MXU f32-accumulates exactly
+    do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     D = q.shape[-1]
@@ -200,8 +216,8 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref,
 
         k_dma(slot, kb).wait()
         v_dma(slot, kb).wait()
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
+        k = k_buf[slot]
+        v = v_buf[slot]
 
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -210,8 +226,8 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
-        return dq + scale * jax.lax.dot_general(
+        ds = (scale * (p * (dp - delta))).astype(k.dtype)
+        return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
@@ -227,8 +243,8 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
     dv = sum_q p^T dO ; dk = scale * sum_q ds^T q. lse/delta arrive as full
     (1, S) rows in VMEM (a few KB)."""
     b = pl.program_id(0)
-    k = k_blk_ref[0].astype(jnp.float32)
-    v = v_blk_ref[0].astype(jnp.float32)
+    k = k_blk_ref[0]  # native (bf16) — MXU f32-accumulates exactly
+    v = v_blk_ref[0]
     D = k.shape[-1]
     num_qb = seq_len // block_q
 
@@ -259,23 +275,24 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
 
         q_dma(slot, qb).wait()
         do_dma(slot, qb).wait()
-        q = q_buf[slot].astype(jnp.float32)
-        do = do_buf[slot].astype(jnp.float32)
+        q = q_buf[slot]
+        do = do_buf[slot]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
 
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        )  # (BQ, BK) f32
         p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (BK, D)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        ds = p * (dp - delta)
-        dk = dk + scale * jax.lax.dot_general(
+        ds = (scale * (p * (dp - delta))).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BK, D)
         return dk, dv
@@ -289,8 +306,8 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
 def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
     """Fused backward: returns (dq, dk, dv), all (BH, S, D)."""
     BH, S, D = q3.shape
-    block_k = _divisor_block(S, BLOCK_K)
-    block_q = _divisor_block(S, BLOCK_Q)
+    block_k = _divisor_block(S, BWD_BLOCK)
+    block_q = _divisor_block(S, BWD_BLOCK)
     interpret = not _on_tpu()
 
     delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
@@ -358,18 +375,23 @@ def kernel_supported(shape, dtype) -> bool:
     XLA's fused attention.
 
     Measured head-to-head on v5e (B=2, H=1, D=512, bf16; scripts/
-    bench_attention.py, fwd / fwd+bwd ms):
+    bench_attention.py, fwd / fwd+bwd ms — round 3, native-bf16 matmuls +
+    512-wide backward blocks):
 
-        S=4096   xla  2.97 /   3.77   pallas  4.53 /   4.11
-        S=8192   xla 58.19 /  63.30   pallas  4.32 /  11.22
-        S=16384  xla 11.30 /  28.68   pallas 10.85 /  37.34
-        S=32768  xla 42.49 / 115.75   pallas 37.97 / 142.97
+        S=4096   xla  2.43 /   3.52   pallas  2.23 /   3.49
+        S=8192   xla 57.98 /  62.57   pallas  3.84 /  10.20
+        S=16384  xla 11.04 /  28.34   pallas 10.76 /  33.22
+        S=32768  xla 42.40 / 115.17   pallas 38.70 / 127.24
 
-    XLA's fused attention wins at the flagship 4096-token grid and (on the
-    backward) from 16384 up; the streaming kernel wins decisively in the
-    [8192, 16384) window (anisotropic latents like 16x16x32), where XLA's
-    S^2 path degenerates. Sequence-parallel ring attention takes over above
-    32^3 tokens on multi-chip meshes (ops/attention.py).
+    The streaming kernel wins decisively in the [8192, 16384) window
+    (anisotropic latents like 16x16x32), where XLA's S^2 path degenerates
+    6x. At the flagship 4096 grid the two are within noise (~1%), so the
+    gate keeps XLA there: engaging pallas_call would pin operand layouts
+    inside the U-Net with no measured upside (the same pinning cost 3x on
+    the packed-encoder convs when the Pallas GroupNorm was tried —
+    ops/pallas_groupnorm.py). On the backward from 16384 up XLA stays
+    ahead (33.2 vs 28.3 at 16384). Sequence-parallel ring attention takes
+    over above 32^3 tokens on multi-chip meshes (ops/attention.py).
     """
     B, S, H, D = shape
     if D % 128 != 0:

@@ -118,6 +118,66 @@ def lane_stats(x2: jax.Array) -> jax.Array:
     return jnp.sum(partials, axis=1)[:, :2, :]
 
 
+def _stats_any_kernel(x_ref, out_ref, x_buf, sem, *, bm: int, nblk: int):
+    """Per-lane [sum, sum-of-squares] with the activation in HBM
+    (memory_space=ANY) and manual double-buffered DMA — no VMEM BlockSpec on
+    the big operand, so XLA keeps full layout freedom around the kernel (the
+    VMEM-blocked variant pinned operand layouts and degraded the adjacent
+    packed convolutions 3x; see kernel_supported)."""
+    b = pl.program_id(0)
+    Cp = out_ref.shape[-1]
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * bm, bm), :], x_buf.at[slot], sem.at[slot]
+        )
+
+    dma(0, 0).start()
+
+    def body(i, carry):
+        s1, s2 = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        x = x_buf[slot].astype(jnp.float32)  # (bm, Cp)
+        return s1 + jnp.sum(x, axis=0), s2 + jnp.sum(x * x, axis=0)
+
+    zero = jnp.zeros((Cp,), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, nblk, body, (zero, zero))
+    pad = jnp.zeros_like(s1)
+    out_ref[0] = jnp.stack([s1, s2, pad, pad, pad, pad, pad, pad], axis=0)
+
+
+def lane_stats_any(x2: jax.Array) -> jax.Array:
+    """x2: (B, M, Cp) in HBM -> fp32 (B, 2, Cp) per-lane [sum, sum-of-sq]."""
+    B, M, Cp = x2.shape
+    bm = min(_block_rows(M, Cp), 2048)
+    nblk = M // bm
+    out = pl.pallas_call(
+        functools.partial(_stats_any_kernel, bm=bm, nblk=nblk),
+        out_shape=jax.ShapeDtypeStruct((B, 8, Cp), jnp.float32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 8, Cp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bm, Cp), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * M * Cp,
+            bytes_accessed=B * M * Cp * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=not _on_tpu(),
+    )(x2)
+    return out[:, :2, :]
+
+
 def _affine_kernel(x_ref, ab_ref, y_ref, *, act: str):
     x = x_ref[0].astype(jnp.float32)  # (bm, Cp)
     y = x * ab_ref[0, 0][None, :] + ab_ref[0, 1][None, :]
@@ -175,20 +235,44 @@ def _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps):
     return jnp.tile(A.reshape(B, C), (1, pack)), jnp.tile(b.reshape(B, C), (1, pack))
 
 
-def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
+def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu,
+              stats: str | None = None):
     """Pure-JAX reference path (and VJP recompute target): staged fp32
-    reductions in the native packed layout, bf16 folded-affine apply."""
+    reductions in the native packed layout, bf16 folded-affine apply.
+
+    ``stats`` ("twostage" default / "gram", env MEDIMGEN_GN_STATS) picks the
+    sum-of-squares strategy: "gram" computes it as a Gram-matmul diagonal on
+    the MXU (bf16 x bf16 products are exact under f32 accumulation — same
+    values as the staged f32 reduction up to summation order), reading the
+    activation in the model dtype with no materialized fp32 square. The VJP
+    recompute pins "twostage" (the gram backward is slower)."""
     B = h.shape[0]
     spatial_axes = tuple(range(1, h.ndim - 1))
     n_spatial = 1
     for a in spatial_axes:
         n_spatial *= h.shape[a]
-    inner = tuple(range(h.ndim - 3, h.ndim - 1))
-    s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
-    s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
-    rest = tuple(range(1, s1p.ndim - 1))
-    s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
-    s2 = jnp.sum(s2p, axis=rest)
+    if stats is None:
+        stats = os.environ.get("MEDIMGEN_GN_STATS", "twostage")
+    if stats == "pallas" and h.shape[-1] % 128 == 0:
+        x2 = h.reshape(B, n_spatial, h.shape[-1])
+        st = lane_stats_any(x2)
+        s1, s2 = st[:, 0], st[:, 1]
+    elif stats == "gram":
+        Cp = h.shape[-1]
+        x2 = h.reshape(B, n_spatial, Cp)
+        s1 = jnp.sum(x2, axis=1, dtype=jnp.float32)
+        gram = jax.lax.dot_general(
+            x2, x2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = jnp.diagonal(gram, axis1=1, axis2=2)
+    else:
+        inner = tuple(range(h.ndim - 3, h.ndim - 1))
+        s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
+        s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
+        rest = tuple(range(1, s1p.ndim - 1))
+        s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
+        s2 = jnp.sum(s2p, axis=rest)
     A, b = _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps)
     shape = (B,) + (1,) * (h.ndim - 2) + (h.shape[-1],)
     y = (h.astype(dtype) * A.astype(dtype).reshape(shape)
@@ -236,7 +320,7 @@ def _gn_vjp_bwd(num_groups, pack, eps, dtype, fuse_silu, res, g):
     h, scale, bias = res
     _, vjp = jax.vjp(
         lambda hh, ss, bb: _jax_impl(hh, ss, bb, num_groups, pack, eps,
-                                     dtype, fuse_silu),
+                                     dtype, fuse_silu, stats="twostage"),
         h, scale, bias,
     )
     return vjp(g)
