@@ -116,6 +116,74 @@ class SegmentedDDPMSampler:
         return carry[0]
 
 
+class DDIMSampler:
+    """Reusable DDIM sampler: jitted trajectory program(s) compiled ONCE and
+    reused across calls. ``apply_fn(params, x, t)`` keeps the weights as jit
+    ARGUMENTS — closing over a 441M-parameter UNet embeds them as program
+    constants, which TPU compile services cannot handle at flagship scale
+    (observed: >35 min then a compiler crash, while the argument form
+    compiles in minutes).
+
+    Construct once and call repeatedly: a fresh ``jax.jit`` per sampling
+    call (the old ddim_sample-per-call pattern) re-traces and re-compiles
+    the whole 50-step scan every time — measured 94 s/call vs ~4 s for the
+    cached program on the flagship 3D LDM.
+
+    ``max_steps_per_call`` segments the trajectory into smaller compiled
+    scan programs (or, at 1, a scan-free single-step program) driven by a
+    host loop — same mechanism as ddpm_sample; results are bit-identical
+    for any segmentation.
+    """
+
+    def __init__(self, schedule: NoiseSchedule, apply_fn,
+                 num_inference_steps: int = 50, eta: float = 0.0,
+                 clip_x0: bool = True,
+                 max_steps_per_call: Optional[int] = None):
+        T = schedule.num_train_timesteps
+        step = max(1, T // num_inference_steps)
+        self._ts = jnp.arange(T - 1, -1, -step, dtype=jnp.int32)
+        self._ts_prev = jnp.concatenate(
+            [self._ts[1:], jnp.array([-1], dtype=jnp.int32)])
+        self.n = len(self._ts)
+        self.max_steps_per_call = max_steps_per_call
+
+        def body(p, carry, t_pair):
+            x, rng = carry
+            t, t_prev = t_pair
+            rng, step_rng = jax.random.split(rng)
+            t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            tp_batch = jnp.full((x.shape[0],), t_prev, dtype=jnp.int32)
+            out = apply_fn(p, x, t_batch)
+            noise = jax.random.normal(step_rng, x.shape, dtype=x.dtype)
+            x = schedule.ddim_step(out, t_batch, tp_batch, x, eta=eta,
+                                   noise=noise, clip_x0=clip_x0)
+            return (x, rng), None
+
+        if max_steps_per_call is not None and max_steps_per_call <= 1:
+            # host-driven loop: one jitted scan-free single-step program
+            self._run_step = jax.jit(lambda p, c, tp: body(p, c, tp)[0])
+            self._run_segment = None
+        else:
+            self._run_segment = jax.jit(lambda p, carry, seg: jax.lax.scan(
+                lambda c, tp: body(p, c, tp), carry, seg))
+
+    def __call__(self, params, shape: Sequence[int],
+                 rng: jax.Array) -> jax.Array:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+        carry = (x, rng)
+        if self._run_segment is None:
+            for i in range(self.n):
+                carry = self._run_step(
+                    params, carry, (self._ts[i], self._ts_prev[i]))
+            return carry[0]
+        m = self.max_steps_per_call or self.n
+        for start in range(0, self.n, m):
+            seg = (self._ts[start:start + m], self._ts_prev[start:start + m])
+            carry, _ = self._run_segment(params, carry, seg)
+        return carry[0]
+
+
 def ddim_sample(
     schedule: NoiseSchedule,
     model_fn: Optional[ModelFn],
@@ -128,62 +196,18 @@ def ddim_sample(
     apply_fn=None,
     params=None,
 ) -> jax.Array:
-    """DDIM sampling with a strided timestep ladder (fast path).
+    """One-shot DDIM sampling (strided timestep ladder, fast path).
 
-    Pass EITHER ``model_fn(x, t)`` (params closed over — fine for small
-    models and tests) OR ``apply_fn(params, x, t)`` + ``params``: the params
-    then ride through the compiled programs as real arguments. The closure
-    form embeds the weights as program CONSTANTS, which large models must
-    avoid — a 441M-parameter UNet's weights as literals exceed what TPU
-    compile services handle (observed: >35 min then a compiler crash, for
-    any program shape, while the argument form compiles in minutes).
-
-    ``max_steps_per_call`` segments the trajectory into smaller compiled
-    scan programs (or, at 1, a scan-free single-step program) driven by a
-    host loop — same mechanism as ddpm_sample; results are bit-identical
-    for any segmentation.
+    Thin wrapper over ``DDIMSampler`` for tests and one-off CLI calls. Pass
+    EITHER ``model_fn(x, t)`` (params closed over — fine for small models)
+    OR ``apply_fn(params, x, t)`` + ``params``. For REPEATED sampling
+    (training-loop plots, chunked eval, benchmarks) construct a
+    ``DDIMSampler`` once instead: this wrapper builds fresh jitted programs
+    on every call, which re-traces and re-compiles the trajectory each time.
     """
     if apply_fn is None:
         apply_fn = lambda _p, x, t: model_fn(x, t)
-    T = schedule.num_train_timesteps
-    step = max(1, T // num_inference_steps)
-    ts = jnp.arange(T - 1, -1, -step, dtype=jnp.int32)
-    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
-
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
-
-    def body(p, carry, t_pair):
-        x, rng = carry
-        t, t_prev = t_pair
-        rng, step_rng = jax.random.split(rng)
-        t_batch = jnp.full((shape[0],), t, dtype=jnp.int32)
-        tp_batch = jnp.full((shape[0],), t_prev, dtype=jnp.int32)
-        out = apply_fn(p, x, t_batch)
-        noise = jax.random.normal(step_rng, x.shape, dtype=x.dtype)
-        x = schedule.ddim_step(out, t_batch, tp_batch, x, eta=eta, noise=noise, clip_x0=clip_x0)
-        return (x, rng), None
-
-    n = len(ts)
-    if max_steps_per_call is None or max_steps_per_call >= n:
-        run = jax.jit(lambda p, carry: jax.lax.scan(
-            lambda c, tp: body(p, c, tp), carry, (ts, ts_prev)))
-        (x, _), _ = run(params, (x, rng))
-        return x
-
-    if max_steps_per_call <= 1:
-        # host-driven loop: one jitted scan-free single-step program
-        step_fn = jax.jit(lambda p, c, tp: body(p, c, tp)[0])
-        carry = (x, rng)
-        for i in range(n):
-            carry = step_fn(params, carry, (ts[i], ts_prev[i]))
-        return carry[0]
-
-    run_segment = jax.jit(lambda p, carry, seg: jax.lax.scan(
-        lambda c, tp: body(p, c, tp), carry, seg))
-    carry = (x, rng)
-    for start in range(0, n, max_steps_per_call):
-        seg = (ts[start:start + max_steps_per_call],
-               ts_prev[start:start + max_steps_per_call])
-        carry, _ = run_segment(params, carry, seg)
-    return carry[0]
+    sampler = DDIMSampler(
+        schedule, apply_fn, num_inference_steps=num_inference_steps, eta=eta,
+        clip_x0=clip_x0, max_steps_per_call=max_steps_per_call)
+    return sampler(params, shape, rng)

@@ -30,8 +30,8 @@ from medical_image_generation_tpu.config.run import (
 from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
 from medical_image_generation_tpu.data.loader import get_data_loaders, unpack_batch
 from medical_image_generation_tpu.diffusion.sampler import (
+    DDIMSampler,
     SegmentedDDPMSampler,
-    ddim_sample,
 )
 from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
 from medical_image_generation_tpu.models.diffusion_unet import DiffusionUNet
@@ -229,13 +229,20 @@ class DDPMTrainer:
 
         bundle = (sampling_params, labels)
         if sampler == "ddim":
-            # apply_fn form: params as jit arguments, not constants
-            z = ddim_sample(
-                self.schedule, None, shape, rng,
-                num_inference_steps=num_inference_steps or 50,
-                max_steps_per_call=self.config.get("ddim_steps_per_call"),
-                apply_fn=apply_model, params=bundle,
-            )
+            # apply_fn form: params as jit arguments, not constants; the
+            # sampler object is cached so repeated sampling reuses one
+            # compiled trajectory program instead of re-jitting per call
+            steps = num_inference_steps or 50
+            key = (("plain",) if labels is None else ("guided", g)) + (steps,)
+            samplers = getattr(self, "_ddim_samplers", None)
+            if samplers is None:
+                samplers = self._ddim_samplers = {}
+            if key not in samplers:
+                samplers[key] = DDIMSampler(
+                    self.schedule, apply_model, num_inference_steps=steps,
+                    max_steps_per_call=self.config.get("ddim_steps_per_call"),
+                )
+            z = samplers[key](bundle, shape, rng)
         else:
             key = ("plain",) if labels is None else ("guided", g)
             samplers = getattr(self, "_ddpm_samplers", None)

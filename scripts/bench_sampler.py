@@ -29,8 +29,8 @@ def main():
 
     from __graft_entry__ import _flagship_configs
     from medical_image_generation_tpu.diffusion.sampler import (
+        DDIMSampler,
         SegmentedDDPMSampler,
-        ddim_sample,
     )
     from medical_image_generation_tpu.diffusion.schedule import NoiseSchedule
     from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
@@ -75,19 +75,18 @@ def main():
         return decode_jit(ddpm_sampler(unet_params, z_shape, rng))
 
     # trajectory and decode as SEPARATE programs — the shipped structure
-    # (LDMTrainer.sample_images). The trajectory runs in host-loop mode
-    # (max_steps_per_call=1): scan-wrapped flagship UNet programs of ANY
-    # length reliably exceed the remote compiler's limits, while the
-    # scan-free single-step program compiles like the train step.
-    # Bit-identical to the one-scan trajectory (sampler tests).
+    # (LDMTrainer.sample_images). The DDIMSampler object holds the ONE
+    # compiled 50-step scan (apply_fn form: the UNet params ride as jit
+    # arguments — the closure form embeds 441M weights as compile-time
+    # constants -> compiler death). Re-creating the jit per call (the old
+    # ddim_sample pattern) re-compiled every call: 94 s vs ~4 s.
+    ddim_sampler = DDIMSampler(
+        schedule, lambda p, x, t: unet.apply({"params": p}, x, t),
+        num_inference_steps=50,
+    )
+
     def sample_ddim(rng):
-        # apply_fn form: the UNet params ride as jit arguments (the closure
-        # form embeds 441M weights as compile-time constants -> compiler death)
-        z = ddim_sample(schedule, None, z_shape, rng,
-                        num_inference_steps=50,
-                        apply_fn=lambda p, x, t: unet.apply({"params": p}, x, t),
-                        params=unet_params)
-        return decode_jit(z)
+        return decode_jit(ddim_sampler(unet_params, z_shape, rng))
 
     import numpy as np
 
