@@ -135,13 +135,17 @@ def main():
             sync(p)
             print(f"fused: {(time.time()-t0)/20*1000:.2f} ms")
 
-    # numeric agreement check (one step from identical state)
-    opt_state = tx.init(params)
-    u, _ = jax.jit(lambda g, s, p: tx.update(g, s, p))(grads, opt_state, params)
-    ref = jax.tree_util.tree_map(lambda a, b: a + b, params, u)
-    mu0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
-    nu0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.float32), shapes)
-    mine, *_ = jax.jit(fused_update)(params, grads, mu0, nu0, jnp.zeros((), jnp.int32))
+    # numeric agreement check (one step from identical state) on a SMALL
+    # tree — duplicating the full 441M state for a side-by-side would OOM
+    small = {"w": jax.ShapeDtypeStruct((512, 512), jnp.float32),
+             "b": jax.ShapeDtypeStruct((512,), jnp.float32)}
+    sp, sg = _tree(0, small), _tree(1, small)
+    opt_state = tx.init(sp)
+    u, _ = jax.jit(lambda g, s, p: tx.update(g, s, p))(sg, opt_state, sp)
+    ref = jax.tree_util.tree_map(lambda a, b: a + b, sp, u)
+    mu0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), small)
+    nu0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.float32), small)
+    mine, *_ = jax.jit(fused_update)(sp, sg, mu0, nu0, jnp.zeros((), jnp.int32))
     err = max(
         float(jnp.max(jnp.abs(a - b)))
         for a, b in zip(jax.tree_util.tree_leaves(ref),
