@@ -200,6 +200,21 @@ class TestCFGTraining:
             assert np.isfinite(uncond).all() and np.isfinite(guided).all()
             assert np.abs(uncond - guided).max() > 1e-7
 
+            # the DDIM trajectory program is cached per (guidance, steps) —
+            # repeated sampling must REUSE the compiled sampler (re-jitting
+            # per call costs 94 s/call on the flagship), and reuse must be
+            # bit-identical
+            # class-conditional trainers sample "unconditional" via the null
+            # label (labels is not None), so both calls take the guided key
+            assert set(trainer._ddim_samplers) == {
+                ("guided", 1.0, 3), ("guided", 3.0, 3)}
+            uncond2 = trainer.sample_images(
+                state, 2, jax.random.PRNGKey(3), sampler="ddim",
+                num_inference_steps=3,
+            )
+            assert len(trainer._ddim_samplers) == 2
+            np.testing.assert_array_equal(uncond, uncond2)
+
             # ddpm path: labels ride as traced operands (cache keyed once)
             g0 = trainer.sample_images(state, 1, jax.random.PRNGKey(4),
                                        sampler="ddpm", class_label=0)
