@@ -16,8 +16,17 @@ Kernel design (forward):
 * online softmax over K blocks with float32 (m, l, acc) carries on the MXU:
   one jax.lax.fori_loop, no data-dependent shapes.
 
-Backward: FlashAttention-2-style fused kernels (dQ pass + dK/dV pass) that
-recompute p blockwise from the saved row logsumexp — no S^2 materialization.
+Backward: ONE fused FlashAttention-2-style kernel. The textbook two-pass
+backward (a dQ pass over Q blocks + a dK/dV pass over K blocks) recomputes
+the s = qk^T logits and the dp = dO v^T products in BOTH passes — 7 S^2 D
+matmuls where the math needs 5. Here a single kernel walks K blocks on the
+grid, streams Q/dO blocks from HBM, keeps dK/dV in registers, and
+accumulates the per-(Q,K)-block dQ contribution into an f32 HBM accumulator
+via double-buffered async DMA read-modify-write (safe: the TPU grid executes
+sequentially and every write is drained before the grid step ends, while the
+next read of the same address only happens one full grid step later). s and
+dp are computed once per block pair: 5 matmuls, ~29% less MXU work than the
+two-pass form.
 All matmuls keep operands in the model dtype (bf16) with f32 MXU
 accumulation; only p/ds round to bf16 before their matmuls (noise below the
 bf16 output precision).
@@ -175,74 +184,26 @@ def _flash_forward(q3, k3, v3, scale: float):
     )(q3, k3, v3)
 
 
-def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref,
-                   k_buf, v_buf, sem, *, scale: float, block_k: int, seq_len: int):
-    """dQ for one Q block; K/V streamed from HBM (FlashAttention-2 backward).
+def _bwd_fused_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
+                      dk_ref, dv_ref, dq_ref, q_buf, do_buf, dqr_buf, dqw_buf,
+                      rsem, wsem, *, scale: float, block_q: int, seq_len: int):
+    """dK/dV for one K block + the dQ contributions of that block, one pass.
 
-    p = exp(scale * q k^T - L); dp = dO v^T; ds = p * (dp - delta);
-    dq = scale * ds @ k, with delta = rowsum(dO * O).
+    p = exp(scale * q k^T - L); dp = dO v^T; ds = p * (dp - delta), with
+    delta = rowsum(dO * O). Then dv = sum_q p^T dO, dk = sum_q ds^T q (both
+    accumulated in registers over the streamed Q blocks) and dq += ds k
+    (accumulated into the f32 HBM output across K-block grid steps via
+    double-buffered DMA read-modify-write). lse/delta arrive as full (1, S)
+    rows in VMEM (a few KB).
+
+    dq RMW safety: the TPU grid is sequential. A write to dq[b, qb] issued at
+    grid step kb is waited either when its buffer slot recycles (qb+2) or in
+    the end-of-step drain below, so every step-kb write has completed before
+    step kb+1 issues its read of the same rows.
     """
     b = pl.program_id(0)
-    q = q_ref[0]   # native (bf16) — MXU f32-accumulates exactly
-    do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
-    D = q.shape[-1]
-    num_kb = seq_len // block_k
-
-    def k_dma(slot, kb):
-        return pltpu.make_async_copy(
-            k_ref.at[b, pl.ds(kb * block_k, block_k), :], k_buf.at[slot],
-            sem.at[slot, 0],
-        )
-
-    def v_dma(slot, kb):
-        return pltpu.make_async_copy(
-            v_ref.at[b, pl.ds(kb * block_k, block_k), :], v_buf.at[slot],
-            sem.at[slot, 1],
-        )
-
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
-
-    def body(kb, dq):
-        slot = jax.lax.rem(kb, 2)
-        next_slot = jax.lax.rem(kb + 1, 2)
-
-        @pl.when(kb + 1 < num_kb)
-        def _():
-            k_dma(next_slot, kb + 1).start()
-            v_dma(next_slot, kb + 1).start()
-
-        k_dma(slot, kb).wait()
-        v_dma(slot, kb).wait()
-        k = k_buf[slot]
-        v = v_buf[slot]
-
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (scale * (p * (dp - delta))).astype(k.dtype)
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((q.shape[0], D), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
-                    dk_ref, dv_ref, q_buf, do_buf, sem,
-                    *, scale: float, block_q: int, seq_len: int):
-    """dK/dV for one K block; Q/dO streamed from HBM.
-
-    dv = sum_q p^T dO ; dk = scale * sum_q ds^T q. lse/delta arrive as full
-    (1, S) rows in VMEM (a few KB)."""
-    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    first = kb == 0  # dq holds garbage before the first grid step writes it
     k = k_blk_ref[0]  # native (bf16) — MXU f32-accumulates exactly
     v = v_blk_ref[0]
     D = k.shape[-1]
@@ -251,17 +212,33 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
     def q_dma(slot, qb):
         return pltpu.make_async_copy(
             q_ref.at[b, pl.ds(qb * block_q, block_q), :], q_buf.at[slot],
-            sem.at[slot, 0],
+            rsem.at[slot, 0],
         )
 
     def do_dma(slot, qb):
         return pltpu.make_async_copy(
             do_ref.at[b, pl.ds(qb * block_q, block_q), :], do_buf.at[slot],
-            sem.at[slot, 1],
+            rsem.at[slot, 1],
+        )
+
+    def dqr_dma(slot, qb):
+        return pltpu.make_async_copy(
+            dq_ref.at[b, pl.ds(qb * block_q, block_q), :], dqr_buf.at[slot],
+            rsem.at[slot, 2],
+        )
+
+    def dqw_dma(slot, qb):
+        return pltpu.make_async_copy(
+            dqw_buf.at[slot], dq_ref.at[b, pl.ds(qb * block_q, block_q), :],
+            wsem.at[slot],
         )
 
     q_dma(0, 0).start()
     do_dma(0, 0).start()
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dqr_dma(0, 0).start()
 
     def body(qb, carry):
         dk, dv = carry
@@ -272,6 +249,10 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
         def _():
             q_dma(next_slot, qb + 1).start()
             do_dma(next_slot, qb + 1).start()
+
+        @pl.when(jnp.logical_and(qb + 1 < num_qb, jnp.logical_not(first)))
+        def _():
+            dqr_dma(next_slot, qb + 1).start()
 
         q_dma(slot, qb).wait()
         do_dma(slot, qb).wait()
@@ -295,52 +276,59 @@ def _bwd_dkv_kernel(k_blk_ref, v_blk_ref, lse_ref, delta_ref, q_ref, do_ref,
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BK, D)
+
+        dq_contrib = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, D)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dqr_dma(slot, qb).wait()
+
+        # the unselected dqr garbage (incl. possible NaNs) is discarded by where
+        dq_new = jnp.where(first, dq_contrib, dq_contrib + dqr_buf[slot])
+
+        @pl.when(qb >= 2)  # slot recycles: its previous write must be done
+        def _():
+            dqw_dma(slot, qb - 2).wait()
+
+        dqw_buf[slot] = dq_new
+        dqw_dma(slot, qb).start()
         return dk, dv
 
     zero = jnp.zeros((k.shape[0], D), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_qb, body, (zero, zero))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+    # drain the (up to two) still-outstanding dq writes before this grid step
+    # ends — the next step reads these rows
+    for back in range(min(num_qb, 2)):
+        qb_last = num_qb - 1 - back
+        dqw_dma(qb_last % 2, qb_last).wait()
 
 
 def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
-    """Fused backward: returns (dq, dk, dv), all (BH, S, D)."""
+    """Fused one-pass backward: returns (dq, dk, dv), all (BH, S, D)."""
     BH, S, D = q3.shape
     block_k = _divisor_block(S, BWD_BLOCK)
-    block_q = _divisor_block(S, BWD_BLOCK)
+    # the fused kernel carries two f32 dq RMW buffers (2 slots each) on the
+    # scoped VMEM stack; at D=512 a 512-wide Q block overflows the 16 MB
+    # scoped limit (measured 16.59M; a 1024-wide K block with 128-wide Q
+    # overflows too — the fori_loop dK/dV carries are double-buffered by the
+    # compiler), so the Q stream runs half-width there while dK/dV
+    # accumulation keeps the full-width K block
+    block_q = _divisor_block(S, BWD_BLOCK // 2 if D >= 512 else BWD_BLOCK)
     interpret = not _on_tpu()
 
     delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[:, None, :], (BH, 8, S))  # match lse layout
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, seq_len=S),
-        out_shape=jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
-        grid=(BH, S // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_k, D), q3.dtype),
-            pltpu.VMEM((2, block_k, D), q3.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        interpret=interpret,
-    )(q3, do3, lse, delta, k3, v3)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, seq_len=S),
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, block_q=block_q, seq_len=S),
         out_shape=(
             jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
             jax.ShapeDtypeStruct((BH, S, D), q3.dtype),
+            jax.ShapeDtypeStruct((BH, S, D), jnp.float32),  # dq accumulator
         ),
         grid=(BH, S // block_k),
         in_specs=[
@@ -354,20 +342,24 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, scale: float):
         out_specs=(
             pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # dq: manual DMA RMW
         ),
         scratch_shapes=[
             pltpu.VMEM((2, block_q, D), q3.dtype),
             pltpu.VMEM((2, block_q, D), q3.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, block_q, D), jnp.float32),
+            pltpu.VMEM((2, block_q, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(k3, v3, lse, delta, q3, do3)
 
-    return dq, dk, dv
+    return dq.astype(q3.dtype), dk, dv
 
 
 MIN_SEQ_FOR_KERNEL = 8192
-MAX_SEQ_FOR_KERNEL = 16384
+XLA_WINS_SEQS = (16384,)
 
 
 def kernel_supported(shape, dtype) -> bool:
@@ -375,34 +367,35 @@ def kernel_supported(shape, dtype) -> bool:
     XLA's fused attention.
 
     Measured head-to-head on v5e (B=2, H=1, D=512, bf16; scripts/
-    bench_attention.py, fwd / fwd+bwd ms — round 3, native-bf16 matmuls +
-    512-wide backward blocks):
+    bench_attention.py, fwd / fwd+bwd ms — round 3, fused one-pass backward
+    with f32 HBM dq accumulation):
 
-        S=4096   xla  2.43 /   3.52   pallas  2.23 /   3.49
-        S=8192   xla 57.98 /  62.57   pallas  3.84 /  10.20
-        S=16384  xla 11.04 /  28.34   pallas 10.76 /  33.22
-        S=32768  xla 42.40 / 115.17   pallas 38.70 / 127.24
+        S=4096   xla  2.32 /   3.37   pallas  2.04 /   3.99
+        S=8192   xla 57.78 /  62.46   pallas  3.84 /   8.49
+        S=16384  xla 10.97 /  28.39   pallas 10.81 /  29.60
+        S=32768  xla 42.14 / 115.18   pallas 38.37 / 112.94
 
-    The streaming kernel wins decisively in the [8192, 16384) window
-    (anisotropic latents like 16x16x32), where XLA's S^2 path degenerates
-    6x. At the flagship 4096 grid the two are within noise (~1%), so the
-    gate keeps XLA there: engaging pallas_call would pin operand layouts
-    inside the U-Net with no measured upside (the same pinning cost 3x on
-    the packed-encoder convs when the Pallas GroupNorm was tried —
-    ops/pallas_groupnorm.py). On the backward from 16384 up XLA stays
-    ahead (33.2 vs 28.3 at 16384). Sequence-parallel ring attention takes
-    over above 32^3 tokens on multi-chip meshes (ops/attention.py).
+    The streaming kernel wins decisively at 8192 (7x: XLA's S^2 path
+    degenerates there) and now also at 32768 on both passes; at 16384 XLA
+    keeps a 4% edge on fwd+bwd (the fused kernel's dq read-modify-write
+    traffic balances its 29% matmul saving at that size), so the gate
+    excludes exactly that point. At the flagship 4096 grid XLA stays:
+    fwd+bwd is 18% faster there and engaging pallas_call would pin operand
+    layouts inside the U-Net (the same pinning cost 3x on the
+    packed-encoder convs when the Pallas GroupNorm was tried —
+    ops/pallas_groupnorm.py). Sequence-parallel ring attention takes over
+    above 32^3 tokens on multi-chip meshes (ops/attention.py).
     """
     B, S, H, D = shape
     if D % 128 != 0:
         return False
     if S % 128 != 0:
         return False
-    # VMEM footprint is bounded by blocks, not S; cap D so the f32
-    # accumulator + two double-buffered K/V slots stay comfortable.
-    if D > 1024:
+    # VMEM: the fused backward's f32 dq RMW buffers + dK/dV loop carries
+    # exceed the 16 MB scoped limit above D=512 even at half-width blocks.
+    if D > 512:
         return False
-    if not (MIN_SEQ_FOR_KERNEL <= S < MAX_SEQ_FOR_KERNEL):
+    if S < MIN_SEQ_FOR_KERNEL or S in XLA_WINS_SEQS:
         return False
     return True
 

@@ -240,11 +240,15 @@ def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu,
     """Pure-JAX reference path (and VJP recompute target): staged fp32
     reductions in the native packed layout, bf16 folded-affine apply.
 
-    ``stats`` ("twostage" default / "gram", env MEDIMGEN_GN_STATS) picks the
-    sum-of-squares strategy: "gram" computes it as a Gram-matmul diagonal on
-    the MXU (bf16 x bf16 products are exact under f32 accumulation — same
-    values as the staged f32 reduction up to summation order), reading the
-    activation in the model dtype with no materialized fp32 square. The VJP
+    ``stats`` ("twostage" default / "gram" / "matmul", env MEDIMGEN_GN_STATS)
+    picks the reduction strategy: "gram" computes the sum-of-squares as a
+    Gram-matmul diagonal on the MXU (bf16 x bf16 products are exact under f32
+    accumulation — same values as the staged f32 reduction up to summation
+    order), reading the activation in the model dtype with no materialized
+    fp32 square; "matmul" additionally rides s1 on the MXU as a ones-matvec,
+    so NEITHER reduction stages an fp32 convert copy of the activation (the
+    dominant GroupNorm cost at level-0 geometry — 2 x ~2 ms/instance of
+    615 GiB/s data-formatting copies in the round-3 decode profile). The VJP
     recompute pins "twostage" (the gram backward is slower)."""
     B = h.shape[0]
     spatial_axes = tuple(range(1, h.ndim - 1))
@@ -252,20 +256,40 @@ def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu,
     for a in spatial_axes:
         n_spatial *= h.shape[a]
     if stats is None:
-        stats = os.environ.get("MEDIMGEN_GN_STATS", "twostage")
+        # "matmul" measured fastest in-context on v5e (round 3):
+        # encode 70.06 ms vs twostage 78.33; decode 113.80 vs 116.66 —
+        # the only variant that removes the fp32 convert/square staging
+        # copies without losing more elsewhere.
+        stats = os.environ.get("MEDIMGEN_GN_STATS", "matmul")
     if stats == "pallas" and h.shape[-1] % 128 == 0:
         x2 = h.reshape(B, n_spatial, h.shape[-1])
         st = lane_stats_any(x2)
         s1, s2 = st[:, 0], st[:, 1]
-    elif stats == "gram":
+    elif stats in ("gram", "matmul"):
         Cp = h.shape[-1]
         x2 = h.reshape(B, n_spatial, Cp)
-        s1 = jnp.sum(x2, axis=1, dtype=jnp.float32)
+        if stats == "matmul":
+            ones = jnp.ones((B, 8, n_spatial), h.dtype)  # 8 sublanes
+            s1 = jax.lax.dot_general(
+                ones, x2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+        else:
+            s1 = jnp.sum(x2, axis=1, dtype=jnp.float32)
         gram = jax.lax.dot_general(
             x2, x2, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         s2 = jnp.diagonal(gram, axis1=1, axis2=2)
+    elif stats == "flat":
+        # single-shot all-spatial reduces: keeps exactly (batch, lane) dims,
+        # which on the packed-conv layouts ({4,2,3,1,0}: packed-batch in
+        # sublanes, channels in lanes) is already the reduce-friendly
+        # orientation — the twostage form's intermediate (keeping one
+        # spatial dim) made XLA relayout the fp32 convert/square to
+        # {4,1,3,2,0}, a full-tensor copy per reduction.
+        s1 = jnp.sum(h, axis=spatial_axes, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=spatial_axes)
     else:
         inner = tuple(range(h.ndim - 3, h.ndim - 1))
         s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)

@@ -70,6 +70,19 @@ def main():
         xla_bwd = mk_grad(lambda q, k, v: jax.nn.dot_product_attention(q, k, v, scale=scale))
         pal_bwd = mk_grad(lambda q, k, v: flash_attention(q, k, v, scale))
 
+        if S == 4096:
+            # on-chip numeric check of the fused backward (interpret-mode
+            # tests can't validate real DMA read-modify-write semantics)
+            import numpy as np
+            gx = xla_bwd(q, k, v)
+            gp = pal_bwd(q, k, v)
+            for nm, a, b in zip("qkv", gx, gp):
+                err = float(jnp.max(jnp.abs(
+                    a.astype(jnp.float32) - b.astype(jnp.float32))))
+                ref = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) or 1.0
+                print(f"  d{nm} max abs err {err:.3e} (rel {err/ref:.2e})")
+                assert err / ref < 2e-2, f"d{nm} gradient mismatch"
+
         r = {"S": S}
         for name, fn in (("xla_fwd", xla_fwd), ("pallas_fwd", pal_fwd),
                          ("xla_fwdbwd", xla_bwd), ("pallas_fwdbwd", pal_bwd)):

@@ -73,6 +73,18 @@ class TestPallasGroupNorm:
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("stats", ["gram", "matmul"])
+    def test_stats_variants_match_twostage(self, stats):
+        h = _mk(self.QUAL).astype(jnp.bfloat16)
+        scale = _mk((32,), 1) * 0.1 + 1.0
+        bias = _mk((32,), 2) * 0.1
+        ref = pgn._jax_impl(
+            h, scale, bias, 8, 4, 1e-6, jnp.float32, True, stats="twostage")
+        out = pgn._jax_impl(
+            h, scale, bias, 8, 4, 1e-6, jnp.float32, True, stats=stats)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
     def test_env_gate_disables_kernels(self, monkeypatch):
         monkeypatch.setenv("MEDIMGEN_DISABLE_PALLAS_GN", "1")
         assert not pgn.kernel_supported(_mk(self.QUAL))
