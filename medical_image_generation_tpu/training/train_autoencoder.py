@@ -364,19 +364,28 @@ class AutoEncoderTrainer:
         )
         ckpt.save_loss_dict(self.save_path, self.loss_dict)
 
-        payload = {
-            "epoch": epoch,
-            "g_params": ckpt.to_host(g_state.params),
-            "g_opt_state": ckpt.to_host(g_state.opt_state),
-            "d_params": ckpt.to_host(d_state.params),
-            "d_opt_state": ckpt.to_host(d_state.opt_state),
-            "g_step": int(g_state.step),
-            "validation_loss": val_rec,
-        }
-        ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
-        if val_rec < self.best_val:
-            self.best_val = val_rec
-            ckpt.save_checkpoint(self.save_dict["checkpoints"], "best_model", payload)
+        # checkpoint_interval gates the multi-GB last_model host fetch; see
+        # LDMTrainer._save_epoch_artifacts. Default 1 = reference parity.
+        improved = val_rec < self.best_val
+        ck_interval = max(1, int(self.config.get("checkpoint_interval", 1)))
+        want_last = (epoch + 1) % ck_interval == 0 or epoch + 1 >= self.n_epochs
+        if improved or want_last:
+            payload = {
+                "epoch": epoch,
+                "g_params": ckpt.to_host(g_state.params),
+                "g_opt_state": ckpt.to_host(g_state.opt_state),
+                "d_params": ckpt.to_host(d_state.params),
+                "d_opt_state": ckpt.to_host(d_state.opt_state),
+                "g_step": int(g_state.step),
+                "validation_loss": val_rec,
+            }
+            if want_last:
+                ckpt.save_checkpoint(
+                    self.save_dict["checkpoints"], "last_model", payload)
+            if improved:
+                self.best_val = val_rec
+                ckpt.save_checkpoint(
+                    self.save_dict["checkpoints"], "best_model", payload)
 
         interval = int(self.config.get("val_plot_interval", 10))
         if last_pair is not None and (epoch + 1) % interval == 0:

@@ -324,6 +324,13 @@ class DDPMTrainer:
             os.path.join(self.save_dict["plots"], "loss.png"), title="Diffusion MSE",
         )
         ckpt.save_loss_dict(self.save_path, self.loss_dict)
+        # checkpoint_interval gates the multi-GB last_model host fetch; see
+        # LDMTrainer._save_epoch_artifacts. Default 1 = reference parity.
+        improved = val_loss < self.best_val
+        interval = max(1, int(self.config.get("checkpoint_interval", 1)))
+        want_last = (epoch + 1) % interval == 0 or epoch + 1 >= self.n_epochs
+        if not (improved or want_last):
+            return
         payload = {
             "epoch": epoch,
             "params": ckpt.to_host(state.params),
@@ -335,8 +342,9 @@ class DDPMTrainer:
             "step": int(state.step),
             "validation_loss": val_loss,
         }
-        ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
-        if val_loss < self.best_val:
+        if want_last:
+            ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
+        if improved:
             self.best_val = val_loss
             ckpt.save_checkpoint(self.save_dict["checkpoints"], "best_model", payload)
 

@@ -515,6 +515,16 @@ class LDMTrainer:
             os.path.join(self.save_dict["plots"], "loss.png"), title="Diffusion MSE",
         )
         ckpt.save_loss_dict(self.save_path, self.loss_dict)
+        # ``checkpoint_interval`` (default 1 = reference parity: the
+        # reference torch-saves every epoch) gates the expensive last_model
+        # save — the full params+opt_state device->host fetch is multi-GB
+        # for planner-sized U-Nets; best_model still saves on every
+        # improvement, and last_model always on the final epoch.
+        improved = val_loss < self.best_val
+        interval = max(1, int(self.config.get("checkpoint_interval", 1)))
+        want_last = (epoch + 1) % interval == 0 or epoch + 1 >= self.n_epochs
+        if not (improved or want_last):
+            return
         payload = {
             "epoch": epoch,
             "params": ckpt.to_host(state.params),
@@ -528,8 +538,9 @@ class LDMTrainer:
             "scale_factor": self.scale_factor,
             "latent_shape": list(self.latent_shape),
         }
-        ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
-        if val_loss < self.best_val:
+        if want_last:
+            ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
+        if improved:
             self.best_val = val_loss
             ckpt.save_checkpoint(self.save_dict["checkpoints"], "best_model", payload)
 

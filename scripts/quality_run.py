@@ -148,6 +148,10 @@ def main():
         )
         cfg["progress_bar"] = False
         cfg["val_plot_interval"] = 10
+        # last_model is 1.5 GB for the planner-sized U-Net: fetching it
+        # through the axon tunnel every epoch costs ~2 min/epoch on this
+        # 1-CPU host (best_model still saves on every val improvement)
+        cfg["checkpoint_interval"] = 5
         cfg["n_epochs"] = n_epochs
         if isinstance(cfg.get("lr_scheduler_params"), dict):
             cfg["lr_scheduler_params"] = dict(

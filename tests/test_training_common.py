@@ -214,3 +214,70 @@ class TestAutoKLWeight:
         tr.latent_space_type = "vae"
         tr.adapt_kl_loss_weight(None, None)  # must not touch loader/state
         assert tr.kl_weight == 1e-7
+
+
+class TestCheckpointInterval:
+    """checkpoint_interval gates the multi-GB last_model host fetch:
+    last_model saves every Nth epoch and on the final epoch, best_model on
+    every val improvement; nothing is fetched on skipped, non-improving
+    epochs."""
+
+    def _mk_trainer(self, tmp_path, interval, n_epochs):
+        from medical_image_generation_tpu.training.train_ldm import LDMTrainer
+
+        tr = LDMTrainer.__new__(LDMTrainer)
+        tr.config = {"checkpoint_interval": interval}
+        tr.n_epochs = n_epochs
+        tr.best_val = float("inf")
+        tr.loss_dict = {"rec_loss": [0.5], "val_rec_loss": [0.5]}
+        tr.save_path = str(tmp_path)
+        tr.save_dict = {"plots": str(tmp_path), "checkpoints": str(tmp_path)}
+        tr.scale_factor = 1.0
+        tr.latent_shape = (4, 4, 4)
+        return tr
+
+    def test_interval_and_best_gating(self, tmp_path, monkeypatch):
+        from medical_image_generation_tpu.training import train_ldm as mod
+
+        saves = []
+        monkeypatch.setattr(mod.plots, "save_main_losses",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "save_loss_dict", lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "to_host", lambda t: t)
+        monkeypatch.setattr(
+            mod.ckpt, "save_checkpoint",
+            lambda _dir, name, _payload: saves.append(name))
+
+        tr = self._mk_trainer(tmp_path, interval=3, n_epochs=6)
+        state = type("S", (), {"params": {}, "opt_state": {}, "step": 0,
+                               "ema_params": None})()
+        # epoch 0: improves (inf -> 1.0) => best only (interval skips last)
+        tr._save_epoch_artifacts(0, state, 1.0)
+        # epoch 1: no improvement, not on interval => nothing
+        tr._save_epoch_artifacts(1, state, 2.0)
+        # epoch 2: on interval (3rd epoch) => last only
+        tr._save_epoch_artifacts(2, state, 2.0)
+        # epoch 5: final epoch + improvement => last + best
+        tr._save_epoch_artifacts(5, state, 0.5)
+        assert saves == ["best_model", "last_model", "last_model",
+                         "best_model"]
+
+    def test_default_saves_every_epoch(self, tmp_path, monkeypatch):
+        from medical_image_generation_tpu.training import train_ldm as mod
+
+        saves = []
+        monkeypatch.setattr(mod.plots, "save_main_losses",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "save_loss_dict", lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "to_host", lambda t: t)
+        monkeypatch.setattr(
+            mod.ckpt, "save_checkpoint",
+            lambda _dir, name, _payload: saves.append(name))
+
+        tr = self._mk_trainer(tmp_path, interval=1, n_epochs=3)
+        tr.config = {}  # reference parity: no key => every epoch
+        state = type("S", (), {"params": {}, "opt_state": {}, "step": 0,
+                               "ema_params": None})()
+        tr._save_epoch_artifacts(0, state, 2.0)
+        tr._save_epoch_artifacts(1, state, 3.0)
+        assert saves == ["last_model", "best_model", "last_model"]
