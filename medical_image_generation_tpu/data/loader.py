@@ -212,6 +212,7 @@ class PrefetchLoader:
         num_threads: int = 8,
         prefetch_depth: int = 4,
         seed: int = 0,
+        row_slice=None,
     ):
         self.dataset = dataset
         self.number_of_steps = number_of_steps
@@ -221,22 +222,33 @@ class PrefetchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch_depth = prefetch_depth
         self._seed_counter = seed
+        # multi-host: build only this process's (offset, count) slice of the
+        # GLOBAL batch schedule (parallel.mesh.data_axis_rows). The schedule
+        # and all sampling RNG are keyed on the global row index, so every
+        # host sees the same global batch and co-owners of a replicated data
+        # coordinate reproduce identical rows.
+        self.row_slice = row_slice
         self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
 
     def __len__(self) -> int:
         return self.number_of_steps
 
     def _build_batch(self, sample_indices: List[int], base_seed: int):
+        off, cnt = self.row_slice or (0, len(sample_indices))
+        rows = sample_indices[off:off + cnt]
+
         def one(args):
-            pos, idx = args
+            local_pos, idx = args
+            pos = off + local_pos  # GLOBAL batch position: oversampling
+            # semantics and cross-host row identity both key on it
             rng = np.random.default_rng((base_seed, pos, idx))
             return self.dataset.sample_patch(pos, idx, rng)
 
-        patches = list(self._pool.map(one, enumerate(sample_indices)))
+        patches = list(self._pool.map(one, enumerate(rows)))
         images = np.stack(patches, axis=0)
         if self.dataset.class_map is not None:
             labels = np.asarray(
-                [self.dataset.class_map[self.dataset.ids[i]] for i in sample_indices],
+                [self.dataset.class_map[self.dataset.ids[i]] for i in rows],
                 np.int32,
             )
             return {"image": images, "class": labels}
@@ -295,6 +307,7 @@ def get_data_loaders(
     train_steps: int = TRAIN_STEPS_PER_EPOCH,
     val_steps: int = VAL_STEPS_PER_EPOCH,
     data_parallel: int = 1,
+    mesh=None,
 ) -> Tuple[PrefetchLoader, PrefetchLoader]:
     """Train/val loaders over a preprocessed dataset (reference
     data_processing.py:115-145).
@@ -302,23 +315,24 @@ def get_data_loaders(
     ``batch_size`` is per-chip (the reference's per-GPU semantics,
     configuration.py:927-929); ``data_parallel`` — the mesh 'data' axis
     size — scales it to the global batch so every sample in a sharded step
-    is an independent draw (no duplicate tiling)."""
+    is an independent draw (no duplicate tiling).
+
+    Multi-host: pass the ``mesh`` (the trainers do) — every process computes
+    the SAME global batch schedule (same seeds) and builds only its
+    ``parallel.mesh.data_axis_rows`` slice of each batch, so per-host
+    sampling/decode work stays constant with host count while train AND val
+    semantics match the single-host run exactly."""
     split_path = create_split_files(dataset_id, splitting, preprocessed_root=preprocessed_root)
     ids = get_data_ids(split_path, fold)
     ds_path = resolve_preprocessed_path(dataset_id, preprocessed_root)
     images_path = os.path.join(ds_path, "imagesTr")
 
-    # multi-host: each process streams its own shard of the training ids
-    # (validation stays identical everywhere so val metrics agree)
     try:
         import jax
 
-        n_proc, proc = jax.process_count(), jax.process_index()
+        n_proc = jax.process_count()
     except Exception:  # pragma: no cover
-        n_proc, proc = 1, 0
-    if n_proc > 1 and len(ids["train"]) >= 2 * n_proc:
-        ids = dict(ids, train=ids["train"][proc::n_proc])
-        print(f"host {proc}/{n_proc}: {len(ids['train'])} training patients in shard")
+        n_proc = 1
 
     patch_size = list(transformations["patch_size"])
     if model_type == "2d" and len(patch_size) == 3:
@@ -342,11 +356,21 @@ def get_data_loaders(
         class_map = {k: int(v) for k, v in (label_map or {}).items()}
 
     global_batch = int(batch_size) * max(1, int(data_parallel))
-    # multi-host: each process builds only its share of the global batch —
-    # parallel.mesh.put_batch assembles the global array from process-local
-    # rows, so per-host sampling/decode work stays constant with host count
-    if n_proc > 1 and global_batch % n_proc == 0:
-        global_batch //= n_proc
+    row_slice = None
+    if n_proc > 1:
+        if mesh is None:
+            raise ValueError(
+                "multi-host run: get_data_loaders needs the mesh to compute "
+                "this process's slice of the global batch"
+            )
+        from ..parallel.mesh import data_axis_rows
+
+        row_slice = data_axis_rows(mesh, global_batch)
+        print(
+            f"host {jax.process_index()}/{n_proc}: building rows "
+            f"[{row_slice[0]}, {row_slice[0] + row_slice[1]}) of each "
+            f"{global_batch}-row global batch"
+        )
     common = dict(
         data_path=images_path,
         batch_size=global_batch,
@@ -362,9 +386,11 @@ def get_data_loaders(
 
     threads = num_threads if num_threads is not None else config.get("num_workers", 8)
     train_loader = PrefetchLoader(
-        train_ds, train_steps, shuffle=True, num_threads=threads, seed=1
+        train_ds, train_steps, shuffle=True, num_threads=threads, seed=1,
+        row_slice=row_slice,
     )
     val_loader = PrefetchLoader(
-        val_ds, val_steps, shuffle=False, num_threads=threads, seed=2
+        val_ds, val_steps, shuffle=False, num_threads=threads, seed=2,
+        row_slice=row_slice,
     )
     return train_loader, val_loader

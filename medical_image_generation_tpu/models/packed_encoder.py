@@ -340,6 +340,12 @@ def _packed_upsample(h: jax.Array, p: Dict, stride: Sequence[int],
 
     from medical_image_generation_tpu.models.blocks import _parity_taps
 
+    if any(s not in (1, 2) for s in stride):
+        raise ValueError(
+            f"packed upsample handles strides 1/2 only, got {tuple(stride)}; "
+            "upsample_packing_viable should have routed this geometry to "
+            "the plain blocks.Upsample path"
+        )
     *lead_s, sx = stride
     k = p["ConvND_0"]["Conv_0"]
     K0 = k["kernel"]
@@ -398,8 +404,11 @@ def upsample_packing_viable(*, attention_levels, with_nonlocal_attn,
     if any(attention_levels) or with_nonlocal_attn or use_convtranspose:
         return False
     for layer in upsample_parameters:
-        (_, *_, sx), (_, *_, kx) = tuple(layer[0]), tuple(layer[1])
-        if sx not in (1, 2) or kx % 2 == 0:
+        strides, (_, *_, kx) = tuple(layer[0]), tuple(layer[1])
+        # _packed_upsample parity-decomposes stride 2 and passes stride 1
+        # through; any other factor (e.g. anisotropic 3x) must take the
+        # plain jnp.repeat path in blocks.Upsample
+        if any(s not in (1, 2) for s in strides) or kx % 2 == 0:
             return False
     return True
 

@@ -97,12 +97,51 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_sharding(mesh))
 
 
-def put_batch(batch, mesh: Mesh):
-    """Pad + place a loader batch on the mesh, sharded along axis 0.
+def _owned_data_coords(proc_grid: np.ndarray, proc: int) -> list:
+    """Data-axis coordinates whose device row contains ``proc``.
 
-    Single-host: plain ``device_put`` of the global batch. Multi-host: the
-    loaders build only ``global_batch // process_count`` samples per host
-    (data/loader.py), and the global array is assembled with
+    ``proc_grid`` is the (data, model) array of process indices. When the
+    'model' axis spans processes, a data row has several owners — each must
+    supply identical batch rows (the loaders key their sampling RNG on the
+    GLOBAL row index, so co-owners reproduce the same rows independently)."""
+    return [d for d in range(proc_grid.shape[0]) if proc in proc_grid[d]]
+
+
+def data_axis_rows(mesh: Mesh, global_batch: int):
+    """This process's slice ``(offset, count)`` of a global batch sharded
+    on the 'data' axis — the rows ``jax.make_array_from_process_local_data``
+    expects it to supply.
+
+    Rows are coord-major: rows [d*rpc, (d+1)*rpc) belong to data coordinate
+    d, rpc = global_batch / data-axis size (exact by construction: the
+    loaders build global batches as batch_size × data-axis size)."""
+    n_data = mesh.shape["data"]
+    if global_batch % n_data:
+        raise ValueError(
+            f"global batch {global_batch} not a multiple of the data axis "
+            f"({n_data}); loaders must build batch_size × mesh.shape['data']"
+        )
+    rpc = global_batch // n_data
+    if jax.process_count() == 1:
+        return 0, global_batch
+    proc_grid = np.vectorize(lambda dev: dev.process_index)(mesh.devices)
+    owned = _owned_data_coords(proc_grid, jax.process_index())
+    if not owned:
+        raise ValueError("this process owns no devices in the mesh")
+    lo, hi = min(owned), max(owned)
+    if owned != list(range(lo, hi + 1)):
+        # non-contiguous ownership: fall back to building the full batch
+        # (make_array_from_process_local_data still only reads our shards)
+        return 0, global_batch
+    return lo * rpc, (hi + 1 - lo) * rpc
+
+
+def put_batch(batch, mesh: Mesh):
+    """Place a loader batch on the mesh, sharded along axis 0.
+
+    Single-host: plain ``device_put`` of the (padded) global batch.
+    Multi-host: each process's loader builds only its ``data_axis_rows``
+    slice of the global batch, and the global array is assembled with
     ``jax.make_array_from_process_local_data`` — per-host patch-sampling and
     decode work stays constant as hosts are added, instead of every host
     materializing the full global batch."""
@@ -111,17 +150,7 @@ def put_batch(batch, mesh: Mesh):
         return jax.device_put(pad_batch_to_devices(batch, mesh), sh)
     if isinstance(batch, dict):
         return {k: put_batch(v, mesh) for k, v in batch.items()}
-    batch = np.asarray(batch)
-    # pad the LOCAL rows up to a multiple of this process's share of the
-    # data axis (the data axis is laid out process-contiguously by get_mesh)
-    n_local = max(1, mesh.shape["data"] // jax.process_count())
-    b = batch.shape[0]
-    if b % n_local:
-        pad = n_local - (b % n_local)
-        reps = -(-pad // b)
-        filler = np.concatenate([batch] * reps, axis=0)[:pad]
-        batch = np.concatenate([batch, filler], axis=0)
-    return jax.make_array_from_process_local_data(sh, batch)
+    return jax.make_array_from_process_local_data(sh, np.asarray(batch))
 
 
 def pad_batch_to_devices(batch, mesh: Mesh) -> np.ndarray:

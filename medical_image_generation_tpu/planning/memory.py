@@ -26,6 +26,7 @@ Ladder: (batch, no remat) -> (batch, remat) -> halve batch with grad_accum=2
 from __future__ import annotations
 
 import copy
+import shutil
 import tempfile
 from typing import NamedTuple, Optional
 
@@ -75,6 +76,14 @@ def lower_ae_train_step(config: dict, batch_size: int,
     if isinstance(cfg.get("kl_weight"), str):
         cfg["kl_weight"] = 1e-6
 
+    try:
+        return _lower_with_trainer(cfg, batch_size, AutoEncoderTrainer, common)
+    finally:
+        # the reference deletes its trial run dirs too (configuration.py:1496)
+        shutil.rmtree(cfg["results_path"], ignore_errors=True)
+
+
+def _lower_with_trainer(cfg, batch_size, AutoEncoderTrainer, common):
     trainer = AutoEncoderTrainer(cfg, dtype=jnp.bfloat16)
 
     spatial_dims = trainer.spatial_dims
@@ -185,7 +194,10 @@ def auto_select_hyperparams(
 
     batch = max(min_batch, batch // 2)
     accum = 2
-    if batch < init_batch_size and fits(batch, True) is False:
+    # batch == init_batch_size means the planner already started at the
+    # minimum: rung 2 answered "does not fit" and re-probing the same shape
+    # would only recompile — warn directly
+    if batch == init_batch_size or fits(batch, True) is False:
         print(
             f"Warning! 3D model may not fit even at batch {batch} "
             f"(grad_accum {accum}, remat on)."

@@ -155,3 +155,45 @@ def kl_loss(mu, sigma):
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+def cached_sampler(trainer, attr: str, key, build: Callable[[], Any]):
+    """Per-trainer cache of compiled sampler objects.
+
+    Sampler objects (DDIMSampler / SegmentedDDPMSampler) hold their compiled
+    trajectory programs; rebuilding one per call re-traces and re-compiles
+    the whole scan (measured 94 s/call at flagship scale, BENCH_NOTES.md).
+    Both diffusion trainers cache them keyed on the guidance structure (and
+    step count for DDIM) so chunked eval and per-epoch plots reuse one
+    program."""
+    cache = getattr(trainer, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(trainer, attr, cache)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
+def save_last_best(trainer, epoch: int, val_loss: float,
+                   payload_fn: Callable[[], Dict[str, Any]]) -> None:
+    """last/best checkpoint cadence shared by all trainers.
+
+    best_model saves on every val improvement; last_model saves every
+    ``checkpoint_interval`` epochs and on the final epoch (default 1 =
+    reference parity, train_autoencoder.py:533-560). The payload host fetch
+    is the expensive part under axon (multi-GB through the tunnel), so
+    ``payload_fn`` is only called when a save will actually happen."""
+    from . import checkpoints as ckpt
+
+    improved = val_loss < trainer.best_val
+    interval = max(1, int(trainer.config.get("checkpoint_interval", 1)))
+    want_last = (epoch + 1) % interval == 0 or epoch + 1 >= trainer.n_epochs
+    if not (improved or want_last):
+        return
+    payload = payload_fn()
+    if want_last:
+        ckpt.save_checkpoint(trainer.save_dict["checkpoints"], "last_model", payload)
+    if improved:
+        trainer.best_val = val_loss
+        ckpt.save_checkpoint(trainer.save_dict["checkpoints"], "best_model", payload)

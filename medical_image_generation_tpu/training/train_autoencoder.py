@@ -364,28 +364,15 @@ class AutoEncoderTrainer:
         )
         ckpt.save_loss_dict(self.save_path, self.loss_dict)
 
-        # checkpoint_interval gates the multi-GB last_model host fetch; see
-        # LDMTrainer._save_epoch_artifacts. Default 1 = reference parity.
-        improved = val_rec < self.best_val
-        ck_interval = max(1, int(self.config.get("checkpoint_interval", 1)))
-        want_last = (epoch + 1) % ck_interval == 0 or epoch + 1 >= self.n_epochs
-        if improved or want_last:
-            payload = {
-                "epoch": epoch,
-                "g_params": ckpt.to_host(g_state.params),
-                "g_opt_state": ckpt.to_host(g_state.opt_state),
-                "d_params": ckpt.to_host(d_state.params),
-                "d_opt_state": ckpt.to_host(d_state.opt_state),
-                "g_step": int(g_state.step),
-                "validation_loss": val_rec,
-            }
-            if want_last:
-                ckpt.save_checkpoint(
-                    self.save_dict["checkpoints"], "last_model", payload)
-            if improved:
-                self.best_val = val_rec
-                ckpt.save_checkpoint(
-                    self.save_dict["checkpoints"], "best_model", payload)
+        common.save_last_best(self, epoch, val_rec, lambda: {
+            "epoch": epoch,
+            "g_params": ckpt.to_host(g_state.params),
+            "g_opt_state": ckpt.to_host(g_state.opt_state),
+            "d_params": ckpt.to_host(d_state.params),
+            "d_opt_state": ckpt.to_host(d_state.opt_state),
+            "g_step": int(g_state.step),
+            "validation_loss": val_rec,
+        })
 
         interval = int(self.config.get("val_plot_interval", 10))
         if last_pair is not None and (epoch + 1) % interval == 0:
@@ -479,7 +466,7 @@ def main():
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ae_batch_size"],
         args.model_type, config["ae_transformations"], args.fold,
-        data_parallel=trainer.mesh.shape["data"],
+        data_parallel=trainer.mesh.shape["data"], mesh=trainer.mesh,
     )
     trainer.train(train_loader, val_loader)
 

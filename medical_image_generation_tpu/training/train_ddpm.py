@@ -234,23 +234,19 @@ class DDPMTrainer:
             # compiled trajectory program instead of re-jitting per call
             steps = num_inference_steps or 50
             key = (("plain",) if labels is None else ("guided", g)) + (steps,)
-            samplers = getattr(self, "_ddim_samplers", None)
-            if samplers is None:
-                samplers = self._ddim_samplers = {}
-            if key not in samplers:
-                samplers[key] = DDIMSampler(
+            z = common.cached_sampler(
+                self, "_ddim_samplers", key,
+                lambda: DDIMSampler(
                     self.schedule, apply_model, num_inference_steps=steps,
                     max_steps_per_call=self.config.get("ddim_steps_per_call"),
-                )
-            z = samplers[key](bundle, shape, rng)
+                ),
+            )(bundle, shape, rng)
         else:
             key = ("plain",) if labels is None else ("guided", g)
-            samplers = getattr(self, "_ddpm_samplers", None)
-            if samplers is None:
-                samplers = self._ddpm_samplers = {}
-            if key not in samplers:
-                samplers[key] = SegmentedDDPMSampler(self.schedule, apply_model)
-            z = samplers[key](bundle, shape, rng)
+            z = common.cached_sampler(
+                self, "_ddpm_samplers", key,
+                lambda: SegmentedDDPMSampler(self.schedule, apply_model),
+            )(bundle, shape, rng)
         return np.asarray(jnp.clip(z, 0.0, 1.0))
 
     def train(self, train_loader, val_loader) -> None:
@@ -324,14 +320,7 @@ class DDPMTrainer:
             os.path.join(self.save_dict["plots"], "loss.png"), title="Diffusion MSE",
         )
         ckpt.save_loss_dict(self.save_path, self.loss_dict)
-        # checkpoint_interval gates the multi-GB last_model host fetch; see
-        # LDMTrainer._save_epoch_artifacts. Default 1 = reference parity.
-        improved = val_loss < self.best_val
-        interval = max(1, int(self.config.get("checkpoint_interval", 1)))
-        want_last = (epoch + 1) % interval == 0 or epoch + 1 >= self.n_epochs
-        if not (improved or want_last):
-            return
-        payload = {
+        common.save_last_best(self, epoch, val_loss, lambda: {
             "epoch": epoch,
             "params": ckpt.to_host(state.params),
             **(
@@ -341,12 +330,7 @@ class DDPMTrainer:
             "opt_state": ckpt.to_host(state.opt_state),
             "step": int(state.step),
             "validation_loss": val_loss,
-        }
-        if want_last:
-            ckpt.save_checkpoint(self.save_dict["checkpoints"], "last_model", payload)
-        if improved:
-            self.best_val = val_loss
-            ckpt.save_checkpoint(self.save_dict["checkpoints"], "best_model", payload)
+        })
 
     def _restore(self, state):
         path = self.config["load_model_path"]
@@ -413,7 +397,7 @@ def main():
     train_loader, val_loader = get_data_loaders(
         config, args.dataset_id, args.splitting, config["ddpm_batch_size"],
         args.model_type, config["ddpm_transformations"], args.fold,
-        data_parallel=trainer.mesh.shape["data"],
+        data_parallel=trainer.mesh.shape["data"], mesh=trainer.mesh,
     )
     trainer.train(train_loader, val_loader)
 
