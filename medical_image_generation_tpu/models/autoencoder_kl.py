@@ -154,6 +154,12 @@ class AutoencoderKL(nn.Module):
     with_decoder_nonlocal_attn: bool = False
     use_convtranspose: bool = False
     use_checkpointing: bool = False
+    # rematerialization granularity for the packed execution path when
+    # use_checkpointing is on: "acts" saves each ResBlock's inner activations
+    # (no conv recompute in the backward), "full" saves only block inputs.
+    # The planner's memory ladder (planning/memory.py) picks the lightest
+    # setting that fits HBM.
+    remat_policy: str = "acts"
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -180,6 +186,7 @@ class AutoencoderKL(nn.Module):
             with_decoder_nonlocal_attn=params.get("with_decoder_nonlocal_attn", False),
             use_convtranspose=params.get("use_convtranspose", False),
             use_checkpointing=params.get("use_checkpointing", False),
+            remat_policy=params.get("remat_policy", "acts"),
             dtype=dtype,
         )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from medical_image_generation_tpu.models.blocks import ConvND
+from medical_image_generation_tpu.models.blocks import ConvND, GroupNorm
 
 
 class PatchDiscriminator(nn.Module):
@@ -44,10 +44,12 @@ class PatchDiscriminator(nn.Module):
             ch = min(ch * 2, 512)
             stride = 2 if i < self.num_layers_d - 1 else 1
             h = ConvND(ch, 4, stride, 1, sd, use_bias=False, dtype=d)(h)
-            # instance norm == GroupNorm with one group per channel
-            h = nn.GroupNorm(
-                num_groups=None, group_size=1, dtype=jnp.float32, param_dtype=jnp.float32
-            )(h.astype(jnp.float32)).astype(d)
+            # instance norm == GroupNorm with one group per channel. The
+            # folded blocks.GroupNorm (fp32 statistics, compute-dtype affine
+            # apply) replaces flax nn.GroupNorm on an fp32-cast input, which
+            # materialized full fp32 copies of the (B, *vol, C) activation —
+            # same params/names, so checkpoints are interchangeable.
+            h = GroupNorm(num_groups=h.shape[-1], dtype=d)(h)
             h = nn.leaky_relu(h, 0.2)
         logits = ConvND(self.out_channels, 4, 1, 1, sd, dtype=d)(h)
         return logits.astype(jnp.float32)

@@ -37,6 +37,7 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _repack(h: jax.Array, pack_from: int, pack_to: int) -> jax.Array:
@@ -130,16 +131,25 @@ def packed_group_norm(h: jax.Array, scale: jax.Array, bias: jax.Array,
 
 def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
                pack: int, dtype) -> jax.Array:
-    """ResBlock math (blocks.ResBlock, no time embedding) on the packed view."""
+    """ResBlock math (blocks.ResBlock, no time embedding) on the packed view.
+
+    The three inner activations carry the checkpoint name ``ae_act`` — under
+    the "acts" rematerialization policy (see _remat) they are SAVED for the
+    backward, so conv gradients never recompute a convolution and the
+    analytic GroupNorm VJP finds its saved input; the only backward
+    recompute left is the (MXU-ridden) GroupNorm lane-sum passes."""
     hin = h
     h = packed_group_norm(h, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
                           num_groups, pack, eps, dtype, fuse_silu=True)
+    h = checkpoint_name(h, "ae_act")
     k = p["ConvND_0"]["Conv_0"]
     nd = h.ndim - 2
     h = packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
                     pack, pack, dtype)
+    h = checkpoint_name(h, "ae_act")
     h = packed_group_norm(h, p["GroupNorm_1"]["scale"], p["GroupNorm_1"]["bias"],
                           num_groups, pack, eps, dtype, fuse_silu=True)
+    h = checkpoint_name(h, "ae_act")
     k = p["ConvND_1"]["Conv_0"]
     h = packed_conv(h, k["kernel"], k["bias"], (1,) * nd, (1,) * nd,
                     pack, pack, dtype)
@@ -148,6 +158,28 @@ def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
         hin = packed_conv(hin, k["kernel"], k["bias"], (1,) * nd, (0,) * nd,
                           pack, pack, dtype)
     return hin + h
+
+
+def _remat(remat_policy: str):
+    """ResBlock rematerialization wrapper for ``use_checkpointing``.
+
+    * ``"acts"`` (default): save the named inner activations (3 tensors per
+      block) — the backward recomputes NO convolutions and no elementwise
+      chains, only the GroupNorm lane-sum matmuls. Costs ~3x the activation
+      memory of full remat per block; the planner's memory ladder
+      (planning/memory.py) falls back to "full" before halving the batch.
+    * ``"full"``: plain jax.checkpoint — only block inputs live across the
+      forward; the backward recomputes each block's convs + norms (the
+      round-3 stage-1 profile priced that at ~25% of the step).
+    """
+    if remat_policy == "full":
+        return jax.checkpoint(_res_block, static_argnums=(2, 3, 4, 5))
+    if remat_policy != "acts":
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
+    return jax.checkpoint(
+        _res_block, static_argnums=(2, 3, 4, 5),
+        policy=jax.checkpoint_policies.save_only_these_names("ae_act"),
+    )
 
 
 def _pack_for(channels: int, X: int) -> int:
@@ -184,6 +216,7 @@ def encoder_forward_packed(
     norm_num_groups: int,
     downsample_parameters: Sequence,
     use_checkpointing: bool = False,
+    remat_policy: str = "acts",
     dtype=jnp.float32,
     eps: float = 1e-6,
 ) -> jax.Array:
@@ -196,11 +229,7 @@ def encoder_forward_packed(
         s, k, p = (tuple(layer[0]), tuple(layer[1]), tuple(layer[2]))
         return s, k, p
 
-    res_fn = _res_block
-    if use_checkpointing:
-        res_fn = jax.checkpoint(
-            _res_block, static_argnums=(2, 3, 4, 5),
-        )
+    res_fn = _remat(remat_policy) if use_checkpointing else _res_block
 
     # stem: plain input (pack 1) -> level-0 pack
     s, k, p = geo(downsample_parameters[0])
@@ -262,6 +291,7 @@ def module_encoder_features(parent, x, *, with_nonlocal_attn: bool) -> jax.Array
                     norm_num_groups=parent.norm_num_groups,
                     downsample_parameters=parent.downsample_parameters,
                     use_checkpointing=parent.use_checkpointing,
+                    remat_policy=getattr(parent, "remat_policy", "acts"),
                     dtype=parent.dtype,
                 )
             except ValueError:  # e.g. indivisible extents
@@ -288,6 +318,7 @@ def module_decoder_features(parent, z, *, with_nonlocal_attn: bool,
                     norm_num_groups=parent.norm_num_groups,
                     upsample_parameters=parent.upsample_parameters,
                     use_checkpointing=parent.use_checkpointing,
+                    remat_policy=getattr(parent, "remat_policy", "acts"),
                     dtype=parent.dtype,
                 )
             except ValueError:
@@ -422,6 +453,7 @@ def decoder_forward_packed(
     norm_num_groups: int,
     upsample_parameters: Sequence,
     use_checkpointing: bool = False,
+    remat_policy: str = "acts",
     dtype=jnp.float32,
     eps: float = 1e-6,
 ) -> jax.Array:
@@ -436,9 +468,7 @@ def decoder_forward_packed(
     h = z.astype(dtype)
     nd = h.ndim - 2
 
-    res_fn = _res_block
-    if use_checkpointing:
-        res_fn = jax.checkpoint(_res_block, static_argnums=(2, 3, 4, 5))
+    res_fn = _remat(remat_policy) if use_checkpointing else _res_block
 
     # conv_in at the deep (wide-channel) level: plain
     cin = params["ConvND_0"]["Conv_0"]

@@ -64,6 +64,7 @@ class VQVAE(nn.Module):
     num_embeddings: int = 256
     embedding_dim: int = 8
     use_checkpointing: bool = False
+    remat_policy: str = "acts"  # see AutoencoderKL.remat_policy
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -89,6 +90,7 @@ class VQVAE(nn.Module):
             num_embeddings=params.get("num_embeddings", 256),
             embedding_dim=params.get("embedding_dim", 8),
             use_checkpointing=params.get("use_checkpointing", False),
+            remat_policy=params.get("remat_policy", "acts"),
             dtype=dtype,
         )
 

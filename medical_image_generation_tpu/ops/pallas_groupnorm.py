@@ -24,11 +24,17 @@ Group semantics (including pack-folding and groups straddling lane blocks)
 stay in plain JAX on the tiny (B, pack*C) statistics vectors — the kernels
 are group-agnostic, which keeps them 10 lines and trivially testable.
 
-Gradients: ``group_norm_packed`` is a ``jax.custom_vjp`` whose backward
-recomputes through the pure-JAX reference implementation (`_jax_impl`) —
-exactly correct, costs one extra recompute in stage-1 AE training (which
-rematerializes anyway); the flagship LDM step only differentiates through
-the U-Net, so its frozen-AE encode pays the fast forward only.
+Gradients: ``group_norm_packed`` is a ``jax.custom_vjp``. The default
+backward recomputes through the pure-JAX forward ("twostage" stats) and
+autodiffs it — measured FASTEST in-context on the stage-1 AE step under the
+"acts" remat policy (1.398 steps/s vs 1.279 for the closed-form backward:
+the analytic form's explicit cotangent materialization + MXU reduction
+passes cost more HBM traffic than XLA's fused autodiff of the staged
+reductions). ``MEDIMGEN_GN_BWD`` selects alternatives for A/B:
+``analytic`` (closed-form gradient, lane reductions as ones-matvec + Gram
+diagonal on the MXU) and ``analytic-flat`` (same closed form, single-shot
+jnp reductions). All three are exact GroupNorm gradients; equivalence is
+pinned by tests/test_pallas_groupnorm.py.
 
 Reference semantics: GroupNorm with fp32 statistics and compute-dtype
 affine apply (blocks.GroupNorm; reference autoencoderkl_with_strides.py
@@ -235,6 +241,60 @@ def _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps):
     return jnp.tile(A.reshape(B, C), (1, pack)), jnp.tile(b.reshape(B, C), (1, pack))
 
 
+def _lane_sums(h, stats: str | None = None):
+    """Per-lane fp32 [sum, sum-of-squares] of ``h`` over batchless-spatial:
+    (B, *spatial, Cp) -> two (B, Cp) arrays. ``stats`` picks the reduction
+    strategy (see _jax_impl docstring); shared by the forward value path and
+    the VJP residuals so XLA CSEs the two into one computation."""
+    B = h.shape[0]
+    Cp = h.shape[-1]
+    spatial_axes = tuple(range(1, h.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= h.shape[a]
+    if stats is None:
+        # "matmul" measured fastest in-context on v5e (round 3):
+        # encode 70.06 ms vs twostage 78.33; decode 113.80 vs 116.66 —
+        # the only variant that removes the fp32 convert/square staging
+        # copies without losing more elsewhere.
+        stats = os.environ.get("MEDIMGEN_GN_STATS", "matmul")
+    if stats == "pallas" and Cp % 128 == 0:
+        x2 = h.reshape(B, n_spatial, Cp)
+        st = lane_stats_any(x2)
+        return st[:, 0], st[:, 1]
+    if stats in ("gram", "matmul"):
+        x2 = h.reshape(B, n_spatial, Cp)
+        if stats == "matmul":
+            ones = jnp.ones((B, 8, n_spatial), h.dtype)  # 8 sublanes
+            s1 = jax.lax.dot_general(
+                ones, x2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+        else:
+            s1 = jnp.sum(x2, axis=1, dtype=jnp.float32)
+        gram = jax.lax.dot_general(
+            x2, x2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = jnp.diagonal(gram, axis1=1, axis2=2)
+        return s1, s2
+    if stats == "flat":
+        # single-shot all-spatial reduces: keeps exactly (batch, lane) dims,
+        # which on the packed-conv layouts ({4,2,3,1,0}: packed-batch in
+        # sublanes, channels in lanes) is already the reduce-friendly
+        # orientation — the twostage form's intermediate (keeping one
+        # spatial dim) made XLA relayout the fp32 convert/square to
+        # {4,1,3,2,0}, a full-tensor copy per reduction.
+        s1 = jnp.sum(h, axis=spatial_axes, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=spatial_axes)
+        return s1, s2
+    inner = tuple(range(h.ndim - 3, h.ndim - 1))
+    s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
+    s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
+    rest = tuple(range(1, s1p.ndim - 1))
+    return jnp.sum(s1p, axis=rest), jnp.sum(s2p, axis=rest)  # (B, pack*C)
+
+
 def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu,
               stats: str | None = None):
     """Pure-JAX reference path (and VJP recompute target): staged fp32
@@ -255,48 +315,7 @@ def _jax_impl(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu,
     n_spatial = 1
     for a in spatial_axes:
         n_spatial *= h.shape[a]
-    if stats is None:
-        # "matmul" measured fastest in-context on v5e (round 3):
-        # encode 70.06 ms vs twostage 78.33; decode 113.80 vs 116.66 —
-        # the only variant that removes the fp32 convert/square staging
-        # copies without losing more elsewhere.
-        stats = os.environ.get("MEDIMGEN_GN_STATS", "matmul")
-    if stats == "pallas" and h.shape[-1] % 128 == 0:
-        x2 = h.reshape(B, n_spatial, h.shape[-1])
-        st = lane_stats_any(x2)
-        s1, s2 = st[:, 0], st[:, 1]
-    elif stats in ("gram", "matmul"):
-        Cp = h.shape[-1]
-        x2 = h.reshape(B, n_spatial, Cp)
-        if stats == "matmul":
-            ones = jnp.ones((B, 8, n_spatial), h.dtype)  # 8 sublanes
-            s1 = jax.lax.dot_general(
-                ones, x2, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )[:, 0, :]
-        else:
-            s1 = jnp.sum(x2, axis=1, dtype=jnp.float32)
-        gram = jax.lax.dot_general(
-            x2, x2, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        s2 = jnp.diagonal(gram, axis1=1, axis2=2)
-    elif stats == "flat":
-        # single-shot all-spatial reduces: keeps exactly (batch, lane) dims,
-        # which on the packed-conv layouts ({4,2,3,1,0}: packed-batch in
-        # sublanes, channels in lanes) is already the reduce-friendly
-        # orientation — the twostage form's intermediate (keeping one
-        # spatial dim) made XLA relayout the fp32 convert/square to
-        # {4,1,3,2,0}, a full-tensor copy per reduction.
-        s1 = jnp.sum(h, axis=spatial_axes, dtype=jnp.float32)
-        s2 = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=spatial_axes)
-    else:
-        inner = tuple(range(h.ndim - 3, h.ndim - 1))
-        s1p = jnp.sum(h, axis=inner, dtype=jnp.float32)
-        s2p = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=inner)
-        rest = tuple(range(1, s1p.ndim - 1))
-        s1 = jnp.sum(s1p, axis=rest)  # (B, pack*C)
-        s2 = jnp.sum(s2p, axis=rest)
+    s1, s2 = _lane_sums(h, stats)
     A, b = _fold_affine(s1, s2, scale, bias, num_groups, pack, n_spatial, eps)
     shape = (B,) + (1,) * (h.ndim - 2) + (h.shape[-1],)
     y = (h.astype(dtype) * A.astype(dtype).reshape(shape)
@@ -314,13 +333,23 @@ def group_norm_packed(h, scale, bias, num_groups, pack, eps, dtype,
     Backward recomputes through the JAX path (exact gradients).
     """
     return _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype,
-                         fuse_silu)
+                         fuse_silu)[0]
 
 
 def _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
+    """Forward value + the (B, Cp) fp32 lane sums it was computed from."""
     if not kernel_supported(h):
-        return _jax_impl(h, scale, bias, num_groups, pack, eps, dtype,
-                         fuse_silu)
+        s1, s2 = _lane_sums(h)
+        B = h.shape[0]
+        n_spatial = 1
+        for s in h.shape[1:-1]:
+            n_spatial *= s
+        A, b = _fold_affine(s1, s2, scale, bias, num_groups, pack,
+                            n_spatial, eps)
+        shape = (B,) + (1,) * (h.ndim - 2) + (h.shape[-1],)
+        y = (h.astype(dtype) * A.astype(dtype).reshape(shape)
+             + b.astype(dtype).reshape(shape))
+        return (jax.nn.silu(y) if fuse_silu else y), s1, s2
     B = h.shape[0]
     Cp = h.shape[-1]
     M = 1
@@ -328,26 +357,114 @@ def _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
         M *= s
     x2 = h.reshape(B, M, Cp)
     stats = lane_stats(x2)
-    A, b = _fold_affine(stats[:, 0], stats[:, 1], scale, bias,
-                        num_groups, pack, M, eps)
+    s1, s2 = stats[:, 0], stats[:, 1]
+    A, b = _fold_affine(s1, s2, scale, bias, num_groups, pack, M, eps)
     y2 = affine_act(x2, A, b, "silu" if fuse_silu else "none", dtype)
-    return y2.reshape(*h.shape[:-1], Cp)
+    return y2.reshape(*h.shape[:-1], Cp), s1, s2
 
 
 def _gn_vjp_fwd(h, scale, bias, num_groups, pack, eps, dtype, fuse_silu):
-    out = _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype,
-                        fuse_silu)
-    return out, (h, scale, bias)
+    out, s1, s2 = _gn_fwd_value(h, scale, bias, num_groups, pack, eps, dtype,
+                                fuse_silu)
+    return out, (h, scale, bias, s1, s2)
 
 
 def _gn_vjp_bwd(num_groups, pack, eps, dtype, fuse_silu, res, g):
-    h, scale, bias = res
-    _, vjp = jax.vjp(
-        lambda hh, ss, bb: _jax_impl(hh, ss, bb, num_groups, pack, eps,
-                                     dtype, fuse_silu, stats="twostage"),
-        h, scale, bias,
-    )
-    return vjp(g)
+    """Analytic GroupNorm(+SiLU) gradient on the lane-packed view.
+
+    Standard form, per (batch, group) of size n: with xhat = (x - mean)*rinv
+    and gxhat = gz * scale,
+
+        dx = rinv * (gxhat - mean_n(gxhat) - xhat * mean_n(gxhat * xhat))
+
+    realized with per-LANE reductions t1 = sum(gz), t2 = sum(gz * x) —
+    either riding the MXU like the forward's "matmul" stats (ones-matvec +
+    Gram diagonal) or as single-shot jnp reductions ("analytic-flat") —
+    then folded to per-group coefficients at (B, G) size so the elementwise
+    pass is one fused  gz*A + x*P + Q.  The SiLU cotangent (fuse_silu)
+    rebuilds z = x*A + b from the saved lane sums — no forward recompute.
+
+    NOT the default: the recompute-and-autodiff backward measured faster
+    in-context (module docstring); this stays available for future
+    re-measurement when surrounding programs change."""
+    h, scale, bias, s1, s2 = res
+    mode = os.environ.get("MEDIMGEN_GN_BWD", "recompute")
+    if mode == "recompute":
+        _, vjp = jax.vjp(
+            lambda hh, ss, bb: _jax_impl(hh, ss, bb, num_groups, pack, eps,
+                                         dtype, fuse_silu, stats="twostage"),
+            h, scale, bias,
+        )
+        return vjp(g)
+
+    B = h.shape[0]
+    Cp = h.shape[-1]
+    C = Cp // pack
+    G = num_groups
+    Cg = C // G
+    M = 1
+    for s in h.shape[1:-1]:
+        M *= s
+    n = float(M * pack * Cg)
+
+    # group stats from the saved lane sums (all (B, G)-sized math)
+    mean = s1.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / n
+    meansq = s2.reshape(B, pack, G, Cg).sum(axis=(1, 3)) / n
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    rinv = jax.lax.rsqrt(var + eps)
+
+    def lanes(v):  # (B, G) -> (B, Cp), pack-major lane blocks of C
+        return jnp.tile(jnp.repeat(v, Cg, axis=1), (1, pack))
+
+    scale_l = jnp.tile(scale.astype(jnp.float32), pack)[None]  # (1, Cp)
+    mean_l = lanes(mean)
+    rinv_l = lanes(rinv)
+    A_l = rinv_l * scale_l
+
+    x2 = h.reshape(B, M, Cp)
+    g2 = g.reshape(B, M, Cp)
+    if fuse_silu:
+        b_l = jnp.tile(bias.astype(jnp.float32), pack)[None] - mean_l * A_l
+        z = (x2.astype(dtype) * A_l.astype(dtype)[:, None, :]
+             + b_l.astype(dtype)[:, None, :])
+        zf = z.astype(jnp.float32)
+        sig = jax.nn.sigmoid(zf)
+        gz = (g2.astype(jnp.float32) * sig * (1.0 + zf * (1.0 - sig))
+              ).astype(h.dtype)
+    else:
+        gz = g2.astype(h.dtype)
+
+    if mode == "analytic-flat":
+        t1 = jnp.sum(gz, axis=1, dtype=jnp.float32)  # (B, Cp)
+        t2 = jnp.sum(gz.astype(jnp.float32) * x2.astype(jnp.float32), axis=1)
+    else:
+        ones = jnp.ones((B, 8, M), gz.dtype)  # 8 sublanes, as the fwd stats
+        t1 = jax.lax.dot_general(
+            ones, gz, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # (B, Cp): sum(gz) per lane
+        t2 = jnp.diagonal(
+            jax.lax.dot_general(
+                gz, x2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ),
+            axis1=1, axis2=2,
+        )  # (B, Cp): sum(gz * x) per lane
+    u2 = t2 - mean_l * t1  # sum(gz * (x - mean)) per lane
+
+    S1 = (t1 * scale_l).reshape(B, pack, G, Cg).sum(axis=(1, 3))  # sum gxhat
+    S2h = ((u2 * scale_l).reshape(B, pack, G, Cg).sum(axis=(1, 3))
+           * rinv)  # sum(gxhat * xhat)
+    P = lanes(-(rinv**2) * S2h / n)  # (B, Cp)
+    Q = lanes((-rinv * S1 + mean * (rinv**2) * S2h) / n)
+
+    dx = (gz.astype(jnp.float32) * A_l[:, None, :]
+          + x2.astype(jnp.float32) * P[:, None, :]
+          + Q[:, None, :])
+    dh = dx.reshape(h.shape).astype(h.dtype)
+    dscale = (u2 * rinv_l).reshape(B, pack, C).sum(axis=(0, 1))  # (C,)
+    dbias = t1.reshape(B, pack, C).sum(axis=(0, 1))
+    return dh, dscale.astype(scale.dtype), dbias.astype(bias.dtype)
 
 
 group_norm_packed.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)

@@ -206,18 +206,20 @@ def plan_and_preprocess(
         try:
             from medical_image_generation_tpu.planning.memory import auto_select_hyperparams
 
-            bs2, ga2, remat2 = auto_select_hyperparams(
+            bs2, ga2, remat2, policy2 = auto_select_hyperparams(
                 config_2d, "2d", init_batch_size=24
             )
-            bs3, ga3, remat3 = auto_select_hyperparams(
+            bs3, ga3, remat3, policy3 = auto_select_hyperparams(
                 config_3d, "3d", init_batch_size=2
             )
             config_2d["ae_batch_size"], config_2d["grad_accumulate_step"] = bs2, ga2
             config_2d["ddpm_batch_size"] = bs2
             config_2d["vae_params"]["use_checkpointing"] = remat2
+            config_2d["vae_params"]["remat_policy"] = policy2
             config_3d["ae_batch_size"], config_3d["grad_accumulate_step"] = bs3, ga3
             config_3d["ddpm_batch_size"] = bs3 * 2
             config_3d["vae_params"]["use_checkpointing"] = remat3
+            config_3d["vae_params"]["remat_policy"] = policy3
         except Exception as e:  # noqa: BLE001
             print(f"memory probing unavailable ({e}); keeping planner defaults")
 

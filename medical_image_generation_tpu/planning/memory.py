@@ -15,12 +15,15 @@ abstractly (no weights materialized). An L1-only proxy would answer "fits"
 for configs whose real adversarial step OOMs (the 3D flagship at 128^3 needs
 remat to fit one v5e at all — BENCH_NOTES.md).
 
-The search ladder keeps the reference's semantics with one TPU-specific rung:
+The search ladder keeps the reference's semantics with TPU-specific rungs:
 before shrinking the batch, rematerialization (``use_checkpointing``) is
-enabled — it costs ~7% steps/s but preserves the planner's batch size, which
-the reference cannot do (torch's checkpointing changes its module code).
-Ladder: (batch, no remat) -> (batch, remat) -> halve batch with grad_accum=2
-(2D halves toward min 6, 3D halves once to min 1 — configuration.py:1504-1526).
+enabled — first at the cheap "acts" granularity (ResBlock inner activations
+saved: no conv recompute in the backward), then "full" (block inputs only)
+— preserving the planner's batch size, which the reference cannot do
+(torch's checkpointing changes its module code).
+Ladder: (batch, no remat) -> (batch, remat "acts") -> (batch, remat "full")
+-> halve batch with grad_accum=2 (2D halves toward min 6, 3D halves once to
+min 1 — configuration.py:1504-1526).
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ class MemoryPlan(NamedTuple):
     batch_size: int
     grad_accum: int
     use_checkpointing: bool
+    remat_policy: str = "acts"  # meaningful only when use_checkpointing
 
 
 def device_memory_budget() -> int:
@@ -54,7 +58,8 @@ def device_memory_budget() -> int:
 
 
 def lower_ae_train_step(config: dict, batch_size: int,
-                        use_checkpointing: bool = False):
+                        use_checkpointing: bool = False,
+                        remat_policy: str = "acts"):
     """Lower + compile the shipped adversarial AE train step abstractly.
 
     Builds a real ``AutoEncoderTrainer`` from ``config`` (results under a
@@ -69,7 +74,8 @@ def lower_ae_train_step(config: dict, batch_size: int,
 
     cfg = copy.deepcopy(config)
     cfg["vae_params"] = dict(cfg["vae_params"],
-                             use_checkpointing=use_checkpointing)
+                             use_checkpointing=use_checkpointing,
+                             remat_policy=remat_policy)
     cfg["results_path"] = tempfile.mkdtemp(prefix="medimgen_memprobe_")
     cfg.setdefault("task", "TaskProbe")
     # a pinned numeric weight keeps the probe off the adapt-at-train-start path
@@ -119,12 +125,14 @@ def _lower_with_trainer(cfg, batch_size, AutoEncoderTrainer, common):
 
 
 def estimate_ae_step_memory(config: dict, batch_size: int,
-                            use_checkpointing: bool = False) -> Optional[int]:
+                            use_checkpointing: bool = False,
+                            remat_policy: str = "acts") -> Optional[int]:
     """Peak-memory estimate (bytes) of the SHIPPED adversarial AE train step
     at a given batch size, from XLA's compile-time analysis. None if the
     backend exposes no analysis."""
     try:
-        compiled = lower_ae_train_step(config, batch_size, use_checkpointing)
+        compiled = lower_ae_train_step(config, batch_size, use_checkpointing,
+                                       remat_policy)
         analysis = compiled.memory_analysis()
         if analysis is None:
             return None
@@ -148,18 +156,20 @@ def auto_select_hyperparams(
     budget_bytes: Optional[int] = None,
 ) -> MemoryPlan:
     """Batch size + grad accumulation + remat that fit this chip (reference
-    ladder semantics, configuration.py:1448-1526, with a remat rung before
-    the first batch halving — see module docstring)."""
+    ladder semantics, configuration.py:1448-1526, with two remat rungs
+    before the first batch halving — see module docstring)."""
     assert model_type in ("2d", "3d")
     budget = budget_bytes if budget_bytes is not None else device_memory_budget()
     min_batch = 6 if model_type == "2d" else 1
 
-    def fits(bs: int, remat: bool) -> Optional[bool]:
-        est = estimate_ae_step_memory(config, bs, use_checkpointing=remat)
+    def fits(bs: int, remat: bool, policy: str = "acts") -> Optional[bool]:
+        est = estimate_ae_step_memory(config, bs, use_checkpointing=remat,
+                                      remat_policy=policy)
         if est is None:
             return None  # no analysis available: trust the planner default
+        tag = f" +remat({policy})" if remat else ""
         print(
-            f"  batch {bs}{' +remat' if remat else '':s}: estimated peak "
+            f"  batch {bs}{tag}: estimated peak "
             f"{est / 1e9:.2f} GB (budget {budget / 1e9:.2f} GB)"
         )
         return est <= budget
@@ -170,36 +180,39 @@ def auto_select_hyperparams(
         return MemoryPlan(batch, accum, False)
 
     # rung 2: rematerialization at the planner's batch size — the fallback
-    # planner.py's use_checkpointing comment promises
-    if fits(batch, True):
-        return MemoryPlan(batch, accum, True)
+    # planner.py's use_checkpointing comment promises. "acts" first (no conv
+    # recompute in the backward), then "full" (minimum memory).
+    if fits(batch, True, "acts"):
+        return MemoryPlan(batch, accum, True, "acts")
+    if fits(batch, True, "full"):
+        return MemoryPlan(batch, accum, True, "full")
 
-    # rung 3: shrink the batch (remat stays on), grad_accum=2 preserves the
-    # effective batch as in the reference ladder
+    # rung 3: shrink the batch (full remat stays on), grad_accum=2 preserves
+    # the effective batch as in the reference ladder
     if model_type == "2d":
         accum = 2
         while batch > min_batch:
             batch //= 2
             if batch <= min_batch:
                 break
-            if fits(batch, True):
-                return MemoryPlan(batch, accum, True)
+            if fits(batch, True, "full"):
+                return MemoryPlan(batch, accum, True, "full")
         batch = max(batch, min_batch)
-        if not fits(batch, True):
+        if not fits(batch, True, "full"):
             print(
                 f"Warning! 2D model may not fit even at batch {batch} "
                 f"(grad_accum {accum}, remat on)."
             )
-        return MemoryPlan(batch, accum, True)
+        return MemoryPlan(batch, accum, True, "full")
 
     batch = max(min_batch, batch // 2)
     accum = 2
     # batch == init_batch_size means the planner already started at the
     # minimum: rung 2 answered "does not fit" and re-probing the same shape
     # would only recompile — warn directly
-    if batch == init_batch_size or fits(batch, True) is False:
+    if batch == init_batch_size or fits(batch, True, "full") is False:
         print(
             f"Warning! 3D model may not fit even at batch {batch} "
             f"(grad_accum {accum}, remat on)."
         )
-    return MemoryPlan(batch, accum, True)
+    return MemoryPlan(batch, accum, True, "full")

@@ -37,10 +37,14 @@ def main():
 
     vae_cfg, ddpm_cfg = _flagship_configs()
     # stage-1 G+D training at batch 2 @128^3 exceeds one v5e's 16 GB HBM
-    # without rematerialization (the planner's AOT memory probe flips this
-    # on / halves the batch on real datasets) — bench with remat, as a
-    # single-chip user would train
-    vae_cfg = dict(vae_cfg, use_checkpointing=True)
+    # without rematerialization (18.54 GB measured; the planner's AOT memory
+    # probe picks the remat rung on real datasets) — bench with remat, as a
+    # single-chip user would train. Default remat granularity is "acts"
+    # (12.66 GB: inner activations saved, no conv recompute in the backward);
+    # MEDIMGEN_BENCH_REMAT_POLICY=full benches the minimum-memory variant.
+    vae_cfg = dict(vae_cfg, use_checkpointing=True,
+                   remat_policy=os.environ.get(
+                       "MEDIMGEN_BENCH_REMAT_POLICY", "acts"))
     ds = {"median_shape": (128, 128, 128), "max_shape": (128, 128, 128)}
     config = create_config_dict(ds, [0], 1, vae_cfg, ddpm_cfg)
     import tempfile

@@ -3,7 +3,10 @@ ops by self-time — the measurement loop behind BENCH_NOTES.md's profile
 breakdown (layout copies / cast fusions / conv fusions).
 
 Usage:
-    python scripts/profile_step.py [n_steps] [--parse-only DIR]
+    python scripts/profile_step.py [n_steps] [--parse-only DIR] [--ae]
+
+``--ae`` profiles the stage-1 AutoEncoderTrainer G+D step (bench_ae.py's
+program, remat on) instead of the LDM step.
 
 Writes the trace under /tmp/medimgen_profile (or $MEDIMGEN_PROFILE_DIR) and
 parses it with xprof's converter into an op-level table.
@@ -40,6 +43,57 @@ def capture(trace_dir: str, n_steps: int = 5) -> None:
                     state, ae_params, batch, jax.random.fold_in(rng, 100 + i)
                 )
             loss.block_until_ready()
+    print(f"trace written to {trace_dir}")
+
+
+def capture_ae(trace_dir: str, n_steps: int = 5) -> None:
+    """Profile the stage-1 adversarial AE step exactly as bench_ae.py runs it
+    (flagship 128^3 batch 2, remat on, packed encoder/decoder)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_configs
+    from medical_image_generation_tpu.planning.planner import create_config_dict
+    from medical_image_generation_tpu.training.train_autoencoder import (
+        AutoEncoderTrainer,
+    )
+
+    vae_cfg, ddpm_cfg = _flagship_configs()
+    vae_cfg = dict(vae_cfg, use_checkpointing=True)
+    ds = {"median_shape": (128, 128, 128), "max_shape": (128, 128, 128)}
+    config = create_config_dict(ds, [0], 1, vae_cfg, ddpm_cfg)
+    config["results_path"] = os.path.join(
+        tempfile.mkdtemp(prefix="medimgen_prof_ae_"), "results"
+    )
+    config["task"] = "TaskBench"
+
+    trainer = AutoEncoderTrainer(config)
+    batch = np.random.default_rng(0).uniform(
+        0, 1, size=(2, 128, 128, 128, 1)
+    ).astype(np.float32)
+    g_state, d_state = trainer._build_states(batch)
+    step = trainer._make_train_step(adv_on=True)
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[0])
+
+    rng = jax.random.PRNGKey(1)
+    with trainer.mesh:
+        for i in range(2):
+            g_state, d_state, metrics = step(
+                g_state, d_state, batch, jax.random.fold_in(rng, i)
+            )
+        sync(metrics)
+        with jax.profiler.trace(trace_dir):
+            for i in range(n_steps):
+                g_state, d_state, metrics = step(
+                    g_state, d_state, batch, jax.random.fold_in(rng, 100 + i)
+                )
+            sync(metrics)
     print(f"trace written to {trace_dir}")
 
 
@@ -104,8 +158,10 @@ def main():
     if "--parse-only" in args:
         parse(args[args.index("--parse-only") + 1])
         return
+    ae = "--ae" in args
+    args = [a for a in args if not a.startswith("--")]
     n_steps = int(args[0]) if args else 5
-    capture(trace_dir, n_steps)
+    (capture_ae if ae else capture)(trace_dir, n_steps)
     parse(trace_dir)
 
 

@@ -1,4 +1,4 @@
-"""End-to-end QUALITY run on the real TPU: train the 2D chain to
+"""End-to-end QUALITY run on the real TPU: train the 2D or 3D chain to
 convergence on a structured synthetic dataset and score it under the
 reference evaluation protocol.
 
@@ -108,11 +108,15 @@ def main():
     ap.add_argument("--patients", type=int, default=60)
     ap.add_argument("--epochs-ae", type=int, default=40)
     ap.add_argument("--epochs-ldm", type=int, default=80)
-    ap.add_argument("--eval-samples", type=int, default=100)
+    ap.add_argument("--model-type", choices=["2d", "3d"], default="2d")
+    ap.add_argument("--eval-samples", type=int, default=None,
+                    help="default: reference protocol (100 2D / 40 3D)")
     ap.add_argument("--resume", action="store_true",
                     help="continue AE/LDM training from existing run dirs")
     ap.add_argument("--skip-ae", action="store_true")
     args = ap.parse_args()
+    if args.eval_samples is None:
+        args.eval_samples = 100 if args.model_type == "2d" else 40
 
     import jax
     import jax.numpy as jnp
@@ -143,8 +147,8 @@ def main():
 
     def cfg_for(name, n_epochs, continue_training=False):
         cfg = get_config_for_current_task(
-            "097", "2d", name, preprocessed_root=pre, results_root=res,
-            continue_training=continue_training,
+            "097", args.model_type, name, preprocessed_root=pre,
+            results_root=res, continue_training=continue_training,
         )
         cfg["progress_bar"] = False
         cfg["val_plot_interval"] = 10
@@ -164,9 +168,9 @@ def main():
     if not args.skip_ae:
         print(f"== stage 1: AE for {args.epochs_ae} epochs -> {ae_run}")
         tl, vl = get_data_loaders(
-            cfg, "097", "train-val-test", cfg["ae_batch_size"], "2d",
-            cfg["ae_transformations"], preprocessed_root=pre, num_threads=2,
-            data_parallel=jax.device_count(),
+            cfg, "097", "train-val-test", cfg["ae_batch_size"],
+            args.model_type, cfg["ae_transformations"], preprocessed_root=pre,
+            num_threads=2, data_parallel=jax.device_count(),
         )
         AutoEncoderTrainer(cfg, dtype=jnp.bfloat16).train(tl, vl)
 
@@ -178,9 +182,9 @@ def main():
     ldm_run = cfg2["results_path"]
     print(f"== stage 2: LDM for {args.epochs_ldm} epochs -> {ldm_run}")
     tl2, vl2 = get_data_loaders(
-        cfg2, "097", "train-val-test", cfg2["ddpm_batch_size"], "2d",
-        cfg2["ddpm_transformations"], preprocessed_root=pre, num_threads=2,
-        data_parallel=jax.device_count(),
+        cfg2, "097", "train-val-test", cfg2["ddpm_batch_size"],
+        args.model_type, cfg2["ddpm_transformations"], preprocessed_root=pre,
+        num_threads=2, data_parallel=jax.device_count(),
     )
     trainer = LDMTrainer(cfg2, dtype=jnp.bfloat16)
     trainer.train(tl2, vl2)
@@ -199,6 +203,7 @@ def main():
     metrics["epochs_ae"] = args.epochs_ae
     metrics["epochs_ldm"] = args.epochs_ldm
     metrics["n_patients"] = args.patients
+    metrics["model_type"] = args.model_type
     metrics["final_train_loss"] = (
         trainer.loss_dict["rec_loss"][-1] if trainer.loss_dict["rec_loss"] else None)
     metrics["final_val_loss"] = (

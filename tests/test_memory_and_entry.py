@@ -109,38 +109,54 @@ class TestMemoryAnalysis:
         assert (plan.batch_size, plan.grad_accum, plan.use_checkpointing) == (
             8, 1, False)
 
+    @staticmethod
+    def _fake_estimate(no_remat=100, acts=80, full=60):
+        def fake(config, bs, use_checkpointing=False, remat_policy="acts"):
+            if not use_checkpointing:
+                per_sample = no_remat
+            else:
+                per_sample = acts if remat_policy == "acts" else full
+            return bs * per_sample
+        return fake
+
     def test_ladder_enables_remat_before_halving(self, monkeypatch):
         """The promised planner fallback (planner.py use_checkpointing note):
         when the no-remat step exceeds budget but the remat step fits, keep
-        the batch and flip remat on. Estimates stubbed to decouple the ladder
+        the batch and flip remat on — preferring the "acts" policy (no conv
+        recompute) when it fits. Estimates stubbed to decouple the ladder
         semantics from backend-specific analysis numbers."""
         from medical_image_generation_tpu.planning import memory
 
-        def fake_estimate(config, bs, use_checkpointing=False):
-            per_sample = 60 if use_checkpointing else 100
-            return bs * per_sample
-        monkeypatch.setattr(memory, "estimate_ae_step_memory", fake_estimate)
-
+        monkeypatch.setattr(memory, "estimate_ae_step_memory",
+                            self._fake_estimate())
         plan = memory.auto_select_hyperparams({}, "3d", init_batch_size=8,
                                               budget_bytes=8 * 80)
-        assert plan == (8, 1, True)
+        assert plan == (8, 1, True, "acts")
+
+    def test_ladder_falls_back_to_full_remat(self, monkeypatch):
+        """When "acts" exceeds budget but "full" fits, keep the batch on
+        full remat rather than halving."""
+        from medical_image_generation_tpu.planning import memory
+
+        monkeypatch.setattr(memory, "estimate_ae_step_memory",
+                            self._fake_estimate())
+        plan = memory.auto_select_hyperparams({}, "3d", init_batch_size=8,
+                                              budget_bytes=8 * 70)
+        assert plan == (8, 1, True, "full")
 
     def test_ladder_halves_when_remat_insufficient(self, monkeypatch):
         from medical_image_generation_tpu.planning import memory
 
-        def fake_estimate(config, bs, use_checkpointing=False):
-            per_sample = 60 if use_checkpointing else 100
-            return bs * per_sample
-        monkeypatch.setattr(memory, "estimate_ae_step_memory", fake_estimate)
-
-        # budget below even the remat batch-24 requirement forces the ladder
-        # down to smaller batches with accumulation (remat stays on)
+        monkeypatch.setattr(memory, "estimate_ae_step_memory",
+                            self._fake_estimate())
+        # budget below even the full-remat batch-24 requirement forces the
+        # ladder down to smaller batches with accumulation (remat stays on)
         plan = memory.auto_select_hyperparams({}, "2d", init_batch_size=24,
                                               budget_bytes=8 * 60)
-        assert plan == (6, 2, True)
+        assert plan == (6, 2, True, "full")
         plan3 = memory.auto_select_hyperparams({}, "3d", init_batch_size=2,
                                                budget_bytes=1 * 60)
-        assert plan3 == (1, 2, True)
+        assert plan3 == (1, 2, True, "full")
 
 
 class TestGraftEntry:

@@ -8,6 +8,7 @@ fallback behavior of AutoencoderKL.encode."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_generation_tpu.models.autoencoder_kl import (
     AutoencoderKL,
@@ -158,6 +159,31 @@ class TestEncoderEquivalence:
             norm_num_groups=4, downsample_parameters=ISO3[:2],
             dtype=jnp.float32, use_checkpointing=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    @pytest.mark.parametrize("policy", ["acts", "full"])
+    def test_remat_policies_preserve_gradients(self, policy):
+        """Both rematerialization granularities are pure execution
+        strategies: values and parameter gradients match the no-remat
+        packed path bit-for-bit (same primitives, different scheduling)."""
+        enc = _encoder((8, 16), ISO3[:2], nrb=1)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (2, 8, 8, 8, 1))
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p, remat, pol):
+            out = encoder_forward_packed(
+                p, x, num_channels=(8, 16), num_res_blocks=(1, 1),
+                norm_num_groups=4, downsample_parameters=ISO3[:2],
+                dtype=jnp.float32, use_checkpointing=remat,
+                remat_policy=pol)
+            return jnp.sum(out ** 2)
+
+        v0, g0 = jax.value_and_grad(loss)(params, False, "acts")
+        v1, g1 = jax.value_and_grad(loss)(params, True, policy)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
 
 
 UP3 = (((2, 2, 2), (3, 3, 3), (1, 1, 1)),

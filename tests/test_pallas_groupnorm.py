@@ -40,6 +40,55 @@ class TestPallasGroupNorm:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("mode", ["analytic", "analytic-flat"])
+    @pytest.mark.parametrize("fuse_silu", [False, True])
+    @pytest.mark.parametrize("pack,groups", [(4, 4), (2, 8), (1, 32)])
+    def test_analytic_bwd_matches_autodiff(self, pack, groups, fuse_silu,
+                                           mode, monkeypatch):
+        """The analytic VJP == jax.grad through the pure-JAX forward, for
+        grads wrt activation, scale and bias (groups straddling lane blocks
+        at every pack)."""
+        monkeypatch.setenv("MEDIMGEN_GN_BWD", mode)
+        h = _mk(self.QUAL)
+        C = h.shape[-1] // pack
+        scale = _mk((C,), 1) * 0.1 + 1.0
+        bias = _mk((C,), 2) * 0.1
+        w = _mk(self.QUAL, 3)  # non-uniform cotangent via weighted sum
+
+        def f_analytic(hh, ss, bb):
+            return jnp.sum(w * pgn.group_norm_packed(
+                hh, ss, bb, groups, pack, 1e-6, jnp.float32, fuse_silu))
+
+        def f_ref(hh, ss, bb):
+            return jnp.sum(w * pgn._jax_impl(
+                hh, ss, bb, groups, pack, 1e-6, jnp.float32, fuse_silu))
+
+        ga = jax.grad(f_analytic, argnums=(0, 1, 2))(h, scale, bias)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(h, scale, bias)
+        for a, b in zip(ga, gr):
+            # rtol 2e-3: fp32 reductions over 8k elements in different
+            # summation orders (matmul/flat vs staged autodiff)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4)
+
+    def test_bwd_modes_agree(self, monkeypatch):
+        """The default recompute backward and the analytic variant compute
+        the same gradient."""
+        h = _mk(self.QUAL)
+        scale = _mk((32,), 1) * 0.1 + 1.0
+        bias = _mk((32,), 2) * 0.1
+
+        def f(hh):
+            return jnp.sum(jnp.square(pgn.group_norm_packed(
+                hh, scale, bias, 8, 4, 1e-6, jnp.float32, True)))
+
+        g_recompute = jax.grad(f)(h)  # default mode
+        monkeypatch.setenv("MEDIMGEN_GN_BWD", "analytic")
+        g_analytic = jax.grad(f)(h)
+        np.testing.assert_allclose(
+            np.asarray(g_analytic), np.asarray(g_recompute),
+            rtol=2e-4, atol=2e-4)
+
     def test_gradients_match_jax_path(self):
         h = _mk(self.QUAL)
         scale = _mk((32,), 1) * 0.1 + 1.0
