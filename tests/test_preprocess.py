@@ -155,6 +155,33 @@ class TestEndToEndPlan:
         )
         assert "class_locations" in props and "min_max" in props
 
+    def test_memory_plan_written_into_config(self, tmp_path, monkeypatch):
+        """With probing on, the chosen batch/accum/remat/policy land in the
+        emitted YAML (vae_params.use_checkpointing + remat_policy)."""
+        from medical_image_generation_tpu.planning import memory
+
+        def fake_select(config, model_type, init_batch_size, **kw):
+            if model_type == "2d":
+                return memory.MemoryPlan(12, 2, True, "acts")
+            return memory.MemoryPlan(1, 2, True, "full")
+
+        monkeypatch.setattr(memory, "auto_select_hyperparams", fake_select)
+        raw = make_synthetic_dataset(str(tmp_path / "raw"), n_patients=3)
+        out_root = str(tmp_path / "preprocessed")
+        os.makedirs(out_root)
+        ds_path = plan_and_preprocess(
+            raw, preprocessed_root=out_root, max_workers=0, probe_memory=True
+        )
+        with open(os.path.join(ds_path, "medimgen_config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        c2, c3 = cfg["2D"], cfg["3D"]
+        assert (c2["ae_batch_size"], c2["grad_accumulate_step"]) == (12, 2)
+        assert c2["vae_params"]["use_checkpointing"] is True
+        assert c2["vae_params"]["remat_policy"] == "acts"
+        assert (c3["ae_batch_size"], c3["grad_accumulate_step"]) == (1, 2)
+        assert c3["ddpm_batch_size"] == 2
+        assert c3["vae_params"]["remat_policy"] == "full"
+
 
 class TestConfigOverrides:
     def test_apply_overrides(self):
