@@ -135,9 +135,9 @@ def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
 
     The three inner activations carry the checkpoint name ``ae_act`` — under
     the "acts" rematerialization policy (see _remat) they are SAVED for the
-    backward, so conv gradients never recompute a convolution and the
-    analytic GroupNorm VJP finds its saved input; the only backward
-    recompute left is the (MXU-ridden) GroupNorm lane-sum passes."""
+    backward, so conv gradients never recompute a convolution and each
+    GroupNorm VJP finds its saved input; backward recompute is confined to
+    the GroupNorm VJP's own internals (ops/pallas_groupnorm.py)."""
     hin = h
     h = packed_group_norm(h, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
                           num_groups, pack, eps, dtype, fuse_silu=True)
@@ -164,10 +164,12 @@ def _remat(remat_policy: str):
     """ResBlock rematerialization wrapper for ``use_checkpointing``.
 
     * ``"acts"`` (default): save the named inner activations (3 tensors per
-      block) — the backward recomputes NO convolutions and no elementwise
-      chains, only the GroupNorm lane-sum matmuls. Costs ~3x the activation
-      memory of full remat per block; the planner's memory ladder
-      (planning/memory.py) falls back to "full" before halving the batch.
+      block) — the backward recomputes NO convolutions; only the GroupNorm
+      VJPs recompute their (cheap) internals. Costs ~3x the activation
+      memory of full remat per block (12.66 vs 10.52 GB at the 128^3
+      flagship, batch 2); the planner's memory ladder (planning/memory.py)
+      falls back to "full" before halving the batch. Measured +21% stage-1
+      steps/s over "full" (BENCH_NOTES round 3b).
     * ``"full"``: plain jax.checkpoint — only block inputs live across the
       forward; the backward recomputes each block's convs + norms (the
       round-3 stage-1 profile priced that at ~25% of the step).

@@ -159,6 +159,42 @@ class TestMemoryAnalysis:
         assert plan3 == (1, 2, True, "full")
 
 
+class TestTrainerRematPolicy:
+    def test_shipped_step_metrics_match_across_policies(self, tmp_path):
+        """The SHIPPED AutoEncoderTrainer G+D step produces the same losses
+        under remat_policy acts / full / no-remat — remat is an execution
+        strategy, and the config must actually reach the model."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from medical_image_generation_tpu.training.train_autoencoder import (
+            AutoEncoderTrainer,
+        )
+
+        batch = np.random.default_rng(0).uniform(
+            0, 1, size=(2, 32, 32, 1)).astype(np.float32)
+        results = {}
+        for i, (remat, policy) in enumerate(
+            [(False, "acts"), (True, "acts"), (True, "full")]
+        ):
+            cfg = tiny_config()
+            cfg["vae_params"]["use_checkpointing"] = remat
+            cfg["vae_params"]["remat_policy"] = policy
+            cfg["results_path"] = str(tmp_path / f"run{i}")
+            trainer = AutoEncoderTrainer(cfg, dtype=jnp.float32)
+            g, d = trainer._build_states(batch)
+            step = trainer._make_train_step(adv_on=True)
+            with trainer.mesh:
+                _, _, metrics = step(g, d, batch, jax.random.PRNGKey(7))
+            results[(remat, policy)] = {
+                k: float(v) for k, v in metrics.items()
+            }
+        base = results[(False, "acts")]
+        for key, m in results.items():
+            for name, val in m.items():
+                assert val == pytest.approx(base[name], rel=1e-5), (key, name)
+
+
 class TestGraftEntry:
     def test_entry_shapes(self):
         import __graft_entry__ as g
