@@ -183,17 +183,29 @@ def save_last_best(trainer, epoch: int, val_loss: float,
     ``checkpoint_interval`` epochs and on the final epoch (default 1 =
     reference parity, train_autoencoder.py:533-560). The payload host fetch
     is the expensive part under axon (multi-GB through the tunnel), so
-    ``payload_fn`` is only called when a save will actually happen."""
+    ``payload_fn`` is only called when a save will actually happen.
+
+    ``best_checkpoint_interval: k`` (default 1 = reference parity)
+    additionally restricts best-model candidacy to every k-th epoch (and
+    the final epoch): with the flagship 441M U-Net the best payload is a
+    ~6 GB device->host fetch, and early training improves val EVERY epoch —
+    measured ~6 min/epoch of checkpoint stalls on the 3D quality run.
+    best_model then means "best among the sampled epochs", and
+    ``trainer.best_val`` only advances when a save actually happens so a
+    later sampled epoch competes against the last SAVED best."""
     from . import checkpoints as ckpt
 
     improved = val_loss < trainer.best_val
     interval = max(1, int(trainer.config.get("checkpoint_interval", 1)))
-    want_last = (epoch + 1) % interval == 0 or epoch + 1 >= trainer.n_epochs
-    if not (improved or want_last):
+    best_interval = max(1, int(trainer.config.get("best_checkpoint_interval", 1)))
+    last_epoch = epoch + 1 >= trainer.n_epochs
+    want_last = (epoch + 1) % interval == 0 or last_epoch
+    want_best = improved and ((epoch + 1) % best_interval == 0 or last_epoch)
+    if not (want_best or want_last):
         return
     payload = payload_fn()
     if want_last:
         ckpt.save_checkpoint(trainer.save_dict["checkpoints"], "last_model", payload)
-    if improved:
+    if want_best:
         trainer.best_val = val_loss
         ckpt.save_checkpoint(trainer.save_dict["checkpoints"], "best_model", payload)

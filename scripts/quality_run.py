@@ -156,6 +156,9 @@ def main():
         # through the axon tunnel every epoch costs ~2 min/epoch on this
         # 1-CPU host (best_model still saves on every val improvement)
         cfg["checkpoint_interval"] = 5
+        # best-model candidacy every 5 epochs too: early training improves
+        # val EVERY epoch and each best save is the same multi-GB fetch
+        cfg["best_checkpoint_interval"] = 5
         cfg["n_epochs"] = n_epochs
         if isinstance(cfg.get("lr_scheduler_params"), dict):
             cfg["lr_scheduler_params"] = dict(

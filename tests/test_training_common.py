@@ -262,6 +262,40 @@ class TestCheckpointInterval:
         assert saves == ["best_model", "last_model", "last_model",
                          "best_model"]
 
+    def test_best_interval_gates_best_saves(self, tmp_path, monkeypatch):
+        """best_checkpoint_interval restricts best-model candidacy to every
+        k-th (and the final) epoch; best_val only advances on actual saves
+        so a later sampled epoch competes against the last SAVED best."""
+        from medical_image_generation_tpu.training import train_ldm as mod
+
+        saves = []
+        monkeypatch.setattr(mod.plots, "save_main_losses",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "save_loss_dict", lambda *a, **k: None)
+        monkeypatch.setattr(mod.ckpt, "to_host", lambda t: t)
+        monkeypatch.setattr(
+            mod.ckpt, "save_checkpoint",
+            lambda _dir, name, _payload: saves.append(name))
+
+        tr = self._mk_trainer(tmp_path, interval=10, n_epochs=8)
+        tr.config["best_checkpoint_interval"] = 3
+        state = type("S", (), {"params": {}, "opt_state": {}, "step": 0,
+                               "ema_params": None})()
+        # epochs 1-2 improve but are off-interval => nothing saved
+        tr._save_epoch_artifacts(0, state, 1.0)
+        tr._save_epoch_artifacts(1, state, 0.9)
+        assert saves == [] and tr.best_val == float("inf")
+        # epoch 3 improves and is on interval => best saved, best_val set
+        tr._save_epoch_artifacts(2, state, 0.8)
+        assert saves == ["best_model"] and tr.best_val == 0.8
+        # epoch 6: on interval but WORSE than last saved best => nothing
+        tr._save_epoch_artifacts(5, state, 0.85)
+        assert saves == ["best_model"]
+        # final epoch improves => last (final) + best
+        tr._save_epoch_artifacts(7, state, 0.7)
+        assert saves == ["best_model", "last_model", "best_model"]
+        assert tr.best_val == 0.7
+
     def test_default_saves_every_epoch(self, tmp_path, monkeypatch):
         from medical_image_generation_tpu.training import train_ldm as mod
 
