@@ -165,6 +165,13 @@ def main():
                 cfg["lr_scheduler_params"], total_iters=n_epochs)
         return cfg
 
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+
+    def stash(src, dst):
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out, dst))
+
     # ---- stage 1: adversarial KL autoencoder (planner-sized, full losses)
     cfg = cfg_for("autoencoder", args.epochs_ae, continue_training=args.resume)
     ae_run = cfg["results_path"]
@@ -176,6 +183,11 @@ def main():
             num_threads=2, data_parallel=jax.device_count(),
         )
         AutoEncoderTrainer(cfg, dtype=jnp.bfloat16).train(tl, vl)
+    # stash stage-1 artifacts immediately so a wall-clock-bounded run still
+    # leaves evidence even if stage 2 cannot finish
+    stash(os.path.join(ae_run, "plots", "loss.png"), "ae_loss.png")
+    stash(os.path.join(ae_run, "plots", "all_losses.png"), "ae_all_losses.png")
+    t_ae_done = time.time()
 
     # ---- stage 2: latent diffusion over the frozen AE
     cfg2 = cfg_for("ldm", args.epochs_ldm, continue_training=args.resume)
@@ -203,6 +215,7 @@ def main():
     metrics = trainer.evaluate_generation(
         state, vl2, n_samples=args.eval_samples)
     metrics["wall_clock_s"] = round(time.time() - t_start, 1)
+    metrics["stage1_wall_clock_s"] = round(t_ae_done - t_start, 1)
     metrics["epochs_ae"] = args.epochs_ae
     metrics["epochs_ldm"] = args.epochs_ldm
     metrics["n_patients"] = args.patients
@@ -213,17 +226,9 @@ def main():
         trainer.loss_dict["val_rec_loss"][-1] if trainer.loss_dict["val_rec_loss"] else None)
 
     # ---- persist artifacts into the repo
-    out = args.out
-    os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "METRICS.json"), "w") as f:
         json.dump(metrics, f, indent=2)
-    for src, dst in [
-        (os.path.join(ldm_run, "plots", "loss.png"), "ldm_loss.png"),
-        (os.path.join(ae_run, "plots", "loss.png"), "ae_loss.png"),
-        (os.path.join(ae_run, "plots", "all_losses.png"), "ae_all_losses.png"),
-    ]:
-        if os.path.exists(src):
-            shutil.copy(src, os.path.join(out, dst))
+    stash(os.path.join(ldm_run, "plots", "loss.png"), "ldm_loss.png")
     # the newest epoch sample grid, as the qualitative artifact
     plots_dir = os.path.join(ldm_run, "plots")
     grids = sorted(
