@@ -165,6 +165,11 @@ class AutoencoderKL(nn.Module):
     @staticmethod
     def from_config(params: dict, dtype=jnp.bfloat16) -> "AutoencoderKL":
         """Build from a planner vae_params dict (planning/planner.py)."""
+        from medical_image_generation_tpu.models.packed_encoder import (
+            validate_remat_policy,
+        )
+
+        validate_remat_policy(params.get("remat_policy", "acts"))
         n_levels = len(params["num_channels"])
         nrb = params.get("num_res_blocks", 2)
         return AutoencoderKL(

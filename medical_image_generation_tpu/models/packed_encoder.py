@@ -160,6 +160,24 @@ def _res_block(h: jax.Array, p: Dict, num_groups: int, eps: float,
     return hin + h
 
 
+VALID_REMAT_POLICIES = ("acts", "full")
+
+
+def validate_remat_policy(remat_policy: str) -> str:
+    """Eager config validation. Must be called OUTSIDE the packed-path
+    ``try: ... except ValueError`` geometry fallback in
+    module_encoder_features/module_decoder_features: a typo'd policy in a
+    hand-edited YAML must surface as a config error, not silently route the
+    model onto the unpacked module path (which at flagship size does not
+    fit HBM)."""
+    if remat_policy not in VALID_REMAT_POLICIES:
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}; "
+            f"valid: {VALID_REMAT_POLICIES}"
+        )
+    return remat_policy
+
+
 def _remat(remat_policy: str):
     """ResBlock rematerialization wrapper for ``use_checkpointing``.
 
@@ -174,10 +192,9 @@ def _remat(remat_policy: str):
       forward; the backward recomputes each block's convs + norms (the
       round-3 stage-1 profile priced that at ~25% of the step).
     """
+    validate_remat_policy(remat_policy)
     if remat_policy == "full":
         return jax.checkpoint(_res_block, static_argnums=(2, 3, 4, 5))
-    if remat_policy != "acts":
-        raise ValueError(f"unknown remat_policy {remat_policy!r}")
     return jax.checkpoint(
         _res_block, static_argnums=(2, 3, 4, 5),
         policy=jax.checkpoint_policies.save_only_these_names("ae_act"),
@@ -285,6 +302,8 @@ def module_encoder_features(parent, x, *, with_nonlocal_attn: bool) -> jax.Array
     ):
         params = parent.variables.get("params", {}).get("encoder")
         if params is not None:
+            if parent.use_checkpointing:  # before the try: config errors
+                validate_remat_policy(getattr(parent, "remat_policy", "acts"))
             try:
                 return encoder_forward_packed(
                     params, x,
@@ -312,6 +331,8 @@ def module_decoder_features(parent, z, *, with_nonlocal_attn: bool,
     ):
         params = parent.variables.get("params", {}).get("decoder")
         if params is not None:
+            if parent.use_checkpointing:
+                validate_remat_policy(getattr(parent, "remat_policy", "acts"))
             try:
                 return decoder_forward_packed(
                     params, z,

@@ -69,6 +69,11 @@ class VQVAE(nn.Module):
 
     @staticmethod
     def from_config(params: dict, dtype=jnp.bfloat16) -> "VQVAE":
+        from medical_image_generation_tpu.models.packed_encoder import (
+            validate_remat_policy,
+        )
+
+        validate_remat_policy(params.get("remat_policy", "acts"))
         n_levels = len(params["num_channels"])
         nrb = params.get("num_res_blocks", params.get("num_res_layers", 2))
         return VQVAE(

@@ -423,20 +423,24 @@ def _gn_vjp_bwd(num_groups, pack, eps, dtype, fuse_silu, res, g):
 
     x2 = h.reshape(B, M, Cp)
     g2 = g.reshape(B, M, Cp)
+    # gzf: the effective cotangent in fp32 — used by the flat reductions and
+    # the dx assembly so bf16 inputs don't lose cotangent precision through an
+    # h.dtype round-trip. gz (h.dtype) exists only to feed the MXU dot path.
     if fuse_silu:
         b_l = jnp.tile(bias.astype(jnp.float32), pack)[None] - mean_l * A_l
         z = (x2.astype(dtype) * A_l.astype(dtype)[:, None, :]
              + b_l.astype(dtype)[:, None, :])
         zf = z.astype(jnp.float32)
         sig = jax.nn.sigmoid(zf)
-        gz = (g2.astype(jnp.float32) * sig * (1.0 + zf * (1.0 - sig))
-              ).astype(h.dtype)
+        gzf = g2.astype(jnp.float32) * sig * (1.0 + zf * (1.0 - sig))
+        gz = gzf.astype(h.dtype)
     else:
+        gzf = g2.astype(jnp.float32)
         gz = g2.astype(h.dtype)
 
     if mode == "analytic-flat":
-        t1 = jnp.sum(gz, axis=1, dtype=jnp.float32)  # (B, Cp)
-        t2 = jnp.sum(gz.astype(jnp.float32) * x2.astype(jnp.float32), axis=1)
+        t1 = jnp.sum(gzf, axis=1)  # (B, Cp)
+        t2 = jnp.sum(gzf * x2.astype(jnp.float32), axis=1)
     else:
         ones = jnp.ones((B, 8, M), gz.dtype)  # 8 sublanes, as the fwd stats
         t1 = jax.lax.dot_general(
@@ -458,7 +462,7 @@ def _gn_vjp_bwd(num_groups, pack, eps, dtype, fuse_silu, res, g):
     P = lanes(-(rinv**2) * S2h / n)  # (B, Cp)
     Q = lanes((-rinv * S1 + mean * (rinv**2) * S2h) / n)
 
-    dx = (gz.astype(jnp.float32) * A_l[:, None, :]
+    dx = (gzf * A_l[:, None, :]
           + x2.astype(jnp.float32) * P[:, None, :]
           + Q[:, None, :])
     dh = dx.reshape(h.shape).astype(h.dtype)

@@ -195,10 +195,15 @@ def auto_select_hyperparams(
             batch //= 2
             if batch <= min_batch:
                 break
-            if fits(batch, True, "full"):
+            f = fits(batch, True, "full")
+            if f is None:
+                # analysis went away mid-ladder: no information — stop
+                # halving and trust the current batch, as rung 1 does
+                return MemoryPlan(batch, accum, True, "full")
+            if f:
                 return MemoryPlan(batch, accum, True, "full")
         batch = max(batch, min_batch)
-        if not fits(batch, True, "full"):
+        if fits(batch, True, "full") is False:
             print(
                 f"Warning! 2D model may not fit even at batch {batch} "
                 f"(grad_accum {accum}, remat on)."

@@ -164,6 +164,9 @@ class AutoEncoderTrainer:
         )
         g_tx = common.make_optimizer(g_sched, self.clip, self.grad_accum)
         d_tx = common.make_optimizer(d_sched, self.clip, self.grad_accum)
+        # kept so the per-epoch LR lands in loss_dict (persisted with the
+        # losses in loss_dict.pkl; a scheduled LR is otherwise invisible)
+        self._g_sched = g_sched
 
         g_state = common.TrainState.create(
             apply_fn=self.model.apply, params=g_vars["params"], tx=g_tx
@@ -339,6 +342,9 @@ class AutoEncoderTrainer:
             self.loss_dict["reg"].append(means["reg"])
             self.loss_dict["gen_adv"].append(means["gen_adv"])
             self.loss_dict["disc"].append(means["disc"])
+            self.loss_dict.setdefault("lr", []).append(
+                float(self._g_sched(int(g_state.step)))
+            )
 
             dt = time.time() - t0
             print(
@@ -359,6 +365,8 @@ class AutoEncoderTrainer:
             title="L1 reconstruction loss",
         )
         plots.save_all_losses(
+            # lr rides in loss_dict.pkl but is not a loss; the reference's
+            # all-losses plot carries loss curves only (utils.py:122-124)
             {k: v for k, v in self.loss_dict.items() if k != "lr"},
             os.path.join(self.save_dict["plots"], "all_losses.png"),
         )

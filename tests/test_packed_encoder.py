@@ -328,3 +328,47 @@ class TestDispatch:
         assert not packing_viable(
             attention_levels=[False], with_nonlocal_attn=False,
             downsample_parameters=even_kernel)
+
+
+class TestRematPolicyValidation:
+    """An invalid remat_policy must surface as a config error at model
+    construction, NOT be swallowed by the packed-path geometry fallback
+    (which would silently run the unpacked module path — at flagship size
+    that does not fit HBM)."""
+
+    VAE_CFG = {
+        "spatial_dims": 3, "in_channels": 1, "out_channels": 1,
+        "latent_channels": 3, "num_res_blocks": 1, "norm_num_groups": 4,
+        "num_channels": [8, 8], "attention_levels": [False, False],
+        "downsample_parameters": [list(list(x) for x in lay) for lay in ISO3[:2]],
+        "upsample_parameters": [list(list(x) for x in ISO3[1])],
+        "use_checkpointing": True,
+    }
+
+    def test_from_config_rejects_typo(self):
+        cfg = dict(self.VAE_CFG, remat_policy="actss")
+        with pytest.raises(ValueError, match="remat_policy"):
+            AutoencoderKL.from_config(cfg)
+
+    def test_vqvae_from_config_rejects_typo(self):
+        from medical_image_generation_tpu.models.vqvae import VQVAE
+
+        cfg = dict(self.VAE_CFG, remat_policy="ful")
+        with pytest.raises(ValueError, match="remat_policy"):
+            VQVAE.from_config(cfg)
+
+    def test_dispatch_raises_instead_of_silent_fallback(self):
+        """Even when the model is built directly (bypassing from_config),
+        the packed dispatch validates the policy before its geometry try."""
+        ae = AutoencoderKL(
+            spatial_dims=3, in_channels=1, out_channels=1,
+            num_channels=(8, 8), latent_channels=3, num_res_blocks=(1, 1),
+            norm_num_groups=4, attention_levels=(False, False),
+            downsample_parameters=ISO3[:2], upsample_parameters=(ISO3[1],),
+            use_checkpointing=True, remat_policy="nope", dtype=jnp.float32,
+        )
+        x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+        variables = ae.init({"params": jax.random.PRNGKey(0)}, x,
+                            jax.random.PRNGKey(1))
+        with pytest.raises(ValueError, match="remat_policy"):
+            ae.apply(variables, x, method=ae.encode)
