@@ -111,6 +111,15 @@ def filter_config_by_mode(config: dict, args_mode: str) -> dict:
         for key in ("latent_space_type", "vae_params", "kl_weight", "vqvae_params",
                     "q_weight", "load_autoencoder_path"):
             config.pop(key, None)
+        # pixel-space DDPM uses its own schedule (reference train_ddpm.py:
+        # 380-381: linear_beta 0.0005->0.0195), not the LDM's scaled-linear
+        # ramp; the planner emits it as ddpm_time_scheduler_params
+        if config.get("ddpm_time_scheduler_params"):
+            config["time_scheduler_params"] = config["ddpm_time_scheduler_params"]
+    else:
+        config.pop("ddpm_time_scheduler_params", None)
+    if args_mode == "train_ddpm":
+        config.pop("ddpm_time_scheduler_params", None)
     if args_mode == "train_autoencoder":
         for key in ("ddpm_params", "time_scheduler_params", "ddpm_learning_rate",
                     "load_autoencoder_path"):

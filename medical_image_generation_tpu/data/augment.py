@@ -29,15 +29,23 @@ plus the heavier optional transforms gated by config switches:
       here are ALWAYS in-plane (the soft branch rotates around z only), so
       the switch's remaining effect is the low-res z exclusion above.
 
-Inputs are channels-last: (B, Y, X, C) or (B, Z, Y, X, C). Rotation/scaling
-act on the (Y, X) plane only — matching the reference's soft branch, which
-rotates around z.
+Inputs are channels-last: (B, Y, X, C) or (B, Z, Y, X, C). Under the default
+``soft`` preset rotation/scaling act on the (Y, X) plane only — matching the
+reference's soft branch, which rotates around z; the ``nnunet`` preset
+(reference heavy branch, data_processing.py:371-397) rotates about all three
+axes via a trilinear resample when the data is not too anisotropic.
+
+When ``crop_to`` is set (the loader extracted an nnU-Net-enlarged initial
+patch — data/patches.py spatial_aug_params), the spatial transform samples
+the FINAL output grid directly from the enlarged input and every later
+transform runs at final size: rotated/zoomed-out samples have no zero-filled
+corners, and the resample costs the same gathers as the unenlarged path.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +63,20 @@ class AugmentConfig(NamedTuple):
     low_resolution: bool = False
     dummy_2d: bool = False
     elastic: bool = False
+    # preset-derived geometry (data/patches.py spatial_aug_params); the
+    # defaults reproduce the soft branch exactly
+    rot_range: float = 0.174533  # +-10 deg (reference data_processing.py:408)
+    rot_3d: bool = False  # nnunet preset, isotropic 3D: rotate all axes
+    scale_range: Tuple[float, float] = (0.9, 1.1)
+    bright_range: Tuple[float, float] = (0.9, 1.1)
+    contrast_range: Tuple[float, float] = (0.9, 1.1)
+    gamma_range: Tuple[float, float] = (0.9, 1.1)
+    mirror_axes: Optional[Tuple[int, ...]] = None  # None -> x (last spatial)
+    crop_to: Optional[Tuple[int, ...]] = None  # final spatial shape
 
     @staticmethod
     def from_transformations(t: Dict) -> "AugmentConfig":
-        return AugmentConfig(
+        base = dict(
             rotation=t.get("rotation", True),
             scaling=t.get("scaling", True),
             mirror=t.get("mirror", True),
@@ -71,6 +89,27 @@ class AugmentConfig(NamedTuple):
             dummy_2d=t.get("dummy_2d", False),
             elastic=t.get("elastic", False),
         )
+        if "patch_size" in t:
+            from medical_image_generation_tpu.data.patches import spatial_aug_params
+
+            geo = spatial_aug_params(t)
+            base.update(
+                rot_range=geo["rot_range"],
+                rot_3d=geo["rot_3d"],
+                scale_range=geo["scale_range"],
+                bright_range=geo["bright_range"],
+                contrast_range=geo["contrast_range"],
+                gamma_range=geo["gamma_range"],
+                mirror_axes=geo["mirror_axes"],
+                crop_to=geo["patch_size"],
+                dummy_2d=geo["dummy_2d"] or base["dummy_2d"],
+            )
+        return AugmentConfig(**base)
+
+    def for_patch(self, patch_size) -> "AugmentConfig":
+        """This config with the final spatial shape pinned (when built
+        without a transformations dict)."""
+        return self._replace(crop_to=tuple(patch_size))
 
 
 ROT_RANGE = 0.174533  # +-10 degrees (reference data_processing.py:408)
@@ -113,22 +152,115 @@ def _bilinear_sample_plane(img: jax.Array, src_y: jax.Array, src_x: jax.Array) -
     return top * (1 - wy) + bot * wy
 
 
-def _rotate_scale_plane(img: jax.Array, angle: jax.Array, scale: jax.Array) -> jax.Array:
+def _rotate_scale_plane(
+    img: jax.Array, angle: jax.Array, scale: jax.Array,
+    out_hw: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
     """Bilinear in-plane (Y, X) rotation+scale of one sample.
 
-    img: (..., Y, X, C) with leading optional Z. Output coords map back into
-    the input by the inverse transform around the plane center.
+    img: (..., Y, X, C) with leading optional Z. The OUTPUT grid (``out_hw``,
+    default = input plane) is centered on the input plane and mapped back
+    into it by the inverse transform — so an enlarged input yields a
+    final-size output whose rotated corners still sample real data.
     """
     *lead, H, W, C = img.shape
+    Ho, Wo = out_hw if out_hw is not None else (H, W)
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    ys = jnp.arange(H, dtype=jnp.float32) - cy
-    xs = jnp.arange(W, dtype=jnp.float32) - cx
+    ys = jnp.arange(Ho, dtype=jnp.float32) - (Ho - 1) / 2.0
+    xs = jnp.arange(Wo, dtype=jnp.float32) - (Wo - 1) / 2.0
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     cos, sin = jnp.cos(angle), jnp.sin(angle)
     inv = 1.0 / scale
     src_y = (cos * yy + sin * xx) * inv + cy
     src_x = (-sin * yy + cos * xx) * inv + cx
     return _bilinear_sample_plane(img, src_y, src_x)
+
+
+def _center_crop_spatial(img: jax.Array, out_spatial: Tuple[int, ...]) -> jax.Array:
+    """Static center crop of the leading spatial axes of (..spatial.., C)."""
+    idx = tuple(
+        slice((s - o) // 2, (s - o) // 2 + o)
+        for s, o in zip(img.shape[: len(out_spatial)], out_spatial)
+    ) + (Ellipsis,)
+    return img[idx]
+
+
+def center_crop_batch(batch, spatial: Tuple[int, ...]):
+    """Static center crop of a channels-last batch (B, *spatial_in, C) down
+    to (B, *spatial, C). Host (numpy) or device arrays; identity when the
+    shapes already match. Used wherever a TRAINING loader batch (possibly
+    enlarged for the spatial transform) is consumed outside the augmenting
+    train step — e.g. the LDM latent-shape probe."""
+    n = len(spatial)
+    idx = (slice(None),) + tuple(
+        slice((s - o) // 2, (s - o) // 2 + o)
+        for s, o in zip(batch.shape[1:1 + n], spatial)
+    ) + (Ellipsis,)
+    return batch[idx]
+
+
+def _trilinear_sample(img: jax.Array, src_z, src_y, src_x) -> jax.Array:
+    """Trilinear gather of (Z, Y, X, C) at fractional coords (all of output
+    grid shape); out-of-bounds voxels are zero."""
+    Z, Y, X, C = img.shape
+    z0 = jnp.floor(src_z).astype(jnp.int32)
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    wz = (src_z - z0)[..., None]
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+
+    def gather(zi, yi, xi):
+        valid = ((zi >= 0) & (zi < Z) & (yi >= 0) & (yi < Y)
+                 & (xi >= 0) & (xi < X))
+        zi = jnp.clip(zi, 0, Z - 1)
+        yi = jnp.clip(yi, 0, Y - 1)
+        xi = jnp.clip(xi, 0, X - 1)
+        return jnp.where(valid[..., None], img[zi, yi, xi, :], 0.0)
+
+    out = 0.0
+    for dz, fz in ((0, 1 - wz), (1, wz)):
+        for dy, fy in ((0, 1 - wy), (1, wy)):
+            for dx, fx in ((0, 1 - wx), (1, wx)):
+                out = out + fz * fy * fx * gather(z0 + dz, y0 + dy, x0 + dx)
+    return out
+
+
+def _rotate_scale_3d(
+    img: jax.Array, angles: jax.Array, scale: jax.Array,
+    out_zyx: Optional[Tuple[int, int, int]] = None,
+) -> jax.Array:
+    """Trilinear 3D rotation (about all three axes, composed Rx·Ry·Rz as in
+    batchgenerators) + synchronized 3D scale of one (Z, Y, X, C) sample —
+    the nnunet preset's spatial transform for isotropic 3D data (reference
+    heavy branch, data_processing.py:371-397)."""
+    Z, Y, X, C = img.shape
+    Zo, Yo, Xo = out_zyx if out_zyx is not None else (Z, Y, X)
+    ax, ay, az = angles[0], angles[1], angles[2]
+
+    def rot_axis(a, axis):
+        c, s = jnp.cos(a), jnp.sin(a)
+        one, zero = jnp.ones_like(c), jnp.zeros_like(c)
+        if axis == 0:  # rotate (y, x)
+            rows = [[one, zero, zero], [zero, c, -s], [zero, s, c]]
+        elif axis == 1:  # rotate (z, x)
+            rows = [[c, zero, -s], [zero, one, zero], [s, zero, c]]
+        else:  # rotate (z, y)
+            rows = [[c, -s, zero], [s, c, zero], [zero, zero, one]]
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    R = rot_axis(ax, 0) @ rot_axis(ay, 1) @ rot_axis(az, 2)
+    Rinv = R.T  # orthonormal
+    cz, cy, cx = (Z - 1) / 2.0, (Y - 1) / 2.0, (X - 1) / 2.0
+    zs = jnp.arange(Zo, dtype=jnp.float32) - (Zo - 1) / 2.0
+    ys = jnp.arange(Yo, dtype=jnp.float32) - (Yo - 1) / 2.0
+    xs = jnp.arange(Xo, dtype=jnp.float32) - (Xo - 1) / 2.0
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    inv = 1.0 / scale
+    src_z = (Rinv[0, 0] * zz + Rinv[0, 1] * yy + Rinv[0, 2] * xx) * inv + cz
+    src_y = (Rinv[1, 0] * zz + Rinv[1, 1] * yy + Rinv[1, 2] * xx) * inv + cy
+    src_x = (Rinv[2, 0] * zz + Rinv[2, 1] * yy + Rinv[2, 2] * xx) * inv + cx
+    return _trilinear_sample(img, src_z, src_y, src_x)
 
 
 def _elastic_plane(img: jax.Array, rng: jax.Array, grid: int = 4) -> jax.Array:
@@ -224,34 +356,75 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
     lax.cond branches."""
     orig_dtype = img.dtype
     img = img.astype(jnp.float32)
-    keys = jax.random.split(rng, 20)
+    keys = jax.random.split(rng, 22)
     C = img.shape[-1]
+    n_spatial = img.ndim - 1
 
-    # ---- spatial: rotation about z + synchronized scaling, one resample
-    do_rot = cfg.rotation & True
-    do_scale = cfg.scaling & True
-    rot_on = jax.random.uniform(keys[0]) < P_ROT if do_rot else jnp.array(False)
-    scale_on = jax.random.uniform(keys[1]) < P_SCALE if do_scale else jnp.array(False)
+    # final spatial shape: the input (no enlargement) or cfg.crop_to (the
+    # loader extracted an enlarged initial patch; we sample/crop back down)
+    out_spatial = tuple(cfg.crop_to) if cfg.crop_to is not None else img.shape[:-1]
+    if len(out_spatial) != n_spatial:
+        raise ValueError(
+            f"crop_to {out_spatial} rank does not match sample spatial rank "
+            f"{n_spatial} (shape {img.shape})"
+        )
+    if any(o > s for o, s in zip(out_spatial, img.shape)):
+        raise ValueError(f"crop_to {out_spatial} larger than input {img.shape}")
+
+    # ---- spatial: rotation + synchronized scaling, one resample onto the
+    # final-size output grid (enlarged inputs -> no zero-filled corners)
+    rot_on = (jax.random.uniform(keys[0]) < P_ROT
+              if (cfg.rotation and cfg.rot_range > 0) else jnp.array(False))
+    scale_on = jax.random.uniform(keys[1]) < P_SCALE if cfg.scaling else jnp.array(False)
+    rr = float(cfg.rot_range)
     angle = jnp.where(
-        rot_on, jax.random.uniform(keys[2], minval=-ROT_RANGE, maxval=ROT_RANGE), 0.0
+        rot_on, jax.random.uniform(keys[2], minval=-rr, maxval=rr), 0.0
     )
     scale = jnp.where(
         scale_on,
-        jax.random.uniform(keys[3], minval=SCALE_RANGE[0], maxval=SCALE_RANGE[1]),
+        jax.random.uniform(
+            keys[3], minval=cfg.scale_range[0], maxval=cfg.scale_range[1]
+        ),
         1.0,
     )
     need_resample = rot_on | scale_on
-    img = jax.lax.cond(
-        need_resample,
-        lambda x: _rotate_scale_plane(x, angle, scale),
-        lambda x: x,
-        img,
-    )
+    use_3d = cfg.rot_3d and n_spatial == 3 and not cfg.dummy_2d
+    if use_3d:
+        angles3 = jnp.where(
+            rot_on,
+            jax.random.uniform(keys[20], (3,), minval=-rr, maxval=rr),
+            jnp.zeros(3),
+        )
+        img = jax.lax.cond(
+            need_resample,
+            lambda x: _rotate_scale_3d(x, angles3, scale, out_spatial),
+            lambda x: _center_crop_spatial(x, out_spatial),
+            img,
+        )
+    else:
+        out_hw = out_spatial[-2:]
 
-    # ---- mirror along x (last spatial axis) with p=0.5
+        def resample(x):
+            # z carries no spatial transform: crop it first, then sample the
+            # final (Y, X) grid from the (possibly enlarged) plane
+            x = _center_crop_spatial(x, out_spatial[:-2] + x.shape[n_spatial - 2:n_spatial])
+            return _rotate_scale_plane(x, angle, scale, out_hw)
+
+        img = jax.lax.cond(
+            need_resample,
+            resample,
+            lambda x: _center_crop_spatial(x, out_spatial),
+            img,
+        )
+
+    # ---- mirror: each allowed spatial axis flips independently with p=0.5
+    # (reference MirrorTransform; soft branch allows x only — axes (2,) 3D /
+    # (1,) 2D, data_processing.py:411)
     if cfg.mirror:
-        flip = jax.random.uniform(keys[4]) < 0.5
-        img = jnp.where(flip, jnp.flip(img, axis=-2), img)
+        axes = cfg.mirror_axes if cfg.mirror_axes is not None else (n_spatial - 1,)
+        flips = jax.random.uniform(keys[4], (len(axes),)) < 0.5
+        for i, ax in enumerate(axes):
+            img = jnp.where(flips[i], jnp.flip(img, axis=ax), img)
 
     # ---- gaussian noise
     if cfg.gaussian_noise:
@@ -290,7 +463,7 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
     if cfg.brightness:
         on = jax.random.uniform(keys[10]) < P_BRIGHT
         mult = jax.random.uniform(
-            keys[11], (C,), minval=BRIGHT_RANGE[0], maxval=BRIGHT_RANGE[1]
+            keys[11], (C,), minval=cfg.bright_range[0], maxval=cfg.bright_range[1]
         )
         img = jnp.where(on, img * mult, img)
 
@@ -298,7 +471,7 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
     if cfg.contrast:
         on = jax.random.uniform(keys[12]) < P_CONTRAST
         f = jax.random.uniform(
-            keys[13], (C,), minval=CONTRAST_RANGE[0], maxval=CONTRAST_RANGE[1]
+            keys[13], (C,), minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
         )
         axes = tuple(range(img.ndim - 1))
         mean = jnp.mean(img, axis=axes, keepdims=True)
@@ -310,7 +483,9 @@ def _augment_one(img: jax.Array, rng: jax.Array, cfg: AugmentConfig) -> jax.Arra
     # ---- gamma (stats-retaining, per channel)
     if cfg.gamma:
         on = jax.random.uniform(keys[14]) < P_GAMMA
-        g = jax.random.uniform(keys[15], (C,), minval=GAMMA_RANGE[0], maxval=GAMMA_RANGE[1])
+        g = jax.random.uniform(
+            keys[15], (C,), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1]
+        )
         axes = tuple(range(img.ndim - 1))
         mean = jnp.mean(img, axis=axes, keepdims=True)
         std = jnp.std(img, axis=axes, keepdims=True) + 1e-7

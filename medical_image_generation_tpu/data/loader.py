@@ -29,9 +29,11 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from medical_image_generation_tpu.data.patches import (
+    compute_initial_patch_size,
     crop_and_pad,
     get_bbox,
     oversample_last_fraction,
+    oversample_probabilistic,
 )
 from medical_image_generation_tpu.data.splits import (
     create_split_files,
@@ -68,8 +70,21 @@ class PatchDataset:
         include_labels: bool = False,
         n_classes: int = 1,
         class_map: Optional[Dict[str, int]] = None,
+        initial_patch_size: Optional[Sequence[int]] = None,
+        probabilistic_oversampling: bool = False,
     ):
-        """include_labels: stack the segmentation (scaled to [0,1] by
+        """initial_patch_size: the (possibly rotation/scale-enlarged) patch
+        the TRAINING section extracts; the device augmentation crops back to
+        ``patch_size`` after its spatial transform (reference
+        get_initial_patch_size, data_processing.py:339-359). Validation
+        always extracts the final size, fixed-center (jitter 0), so the val
+        loss that drives best-checkpoint selection is crop-noise-free.
+
+        probabilistic_oversampling: foreground-forcing by independent coin
+        instead of batch position (reference data_processing.py:431, ctor
+        flag :276).
+
+        include_labels: stack the segmentation (scaled to [0,1] by
         n_classes) as an extra trailing channel — enables joint image+label
         synthesis (BASELINE.json config #5).
 
@@ -96,9 +111,21 @@ class PatchDataset:
                     f"(e.g. {missing[:3]})"
                 )
 
+        self.probabilistic_oversampling = bool(probabilistic_oversampling)
+        # training crops jitter ±10 around center; validation is fixed-center
+        # (reference :850-857 val SpatialTransform is a deterministic center
+        # crop — jitter would add noise to the model-selection val loss)
+        self.jitter = 10 if section == "training" else 0
+
         # 2D patches ride as pseudo-3D with z=1 (reference :297-300)
         self.is_2d = len(patch_size) == 2
         self.patch_size = (1, *patch_size) if self.is_2d else tuple(patch_size)
+        initial = (
+            list(initial_patch_size)
+            if (initial_patch_size is not None and section == "training")
+            else list(patch_size)
+        )
+        self.initial_patch_size = (1, *initial) if len(initial) == 2 else tuple(initial)
 
         self._stores: Dict[str, VolStore] = {}
         self._label_stores: Dict[str, VolStore] = {}
@@ -142,15 +169,19 @@ class PatchDataset:
         name = self.ids[sample_idx]
         store, props = self._get(name)
 
-        force_fg = (
-            oversample_last_fraction(batch_pos, self.batch_size, self.oversample_ratio)
-            if self.section == "training"
-            else False
-        )
+        if self.section != "training":
+            force_fg = False
+        elif self.probabilistic_oversampling:
+            force_fg = oversample_probabilistic(self.oversample_ratio, rng)
+        else:
+            force_fg = oversample_last_fraction(
+                batch_pos, self.batch_size, self.oversample_ratio
+            )
         shape = store.shape[1:]  # drop channel axis
         lbs, ubs = get_bbox(
-            shape, self.patch_size, force_fg, props.get("class_locations"), rng,
-            is_2d=self.is_2d,
+            shape, self.initial_patch_size, force_fg,
+            props.get("class_locations"), rng, is_2d=self.is_2d,
+            jitter=self.jitter, final_patch_size=self.patch_size,
         )
         full_lbs = [0] + lbs
         full_ubs = [store.shape[0]] + ubs
@@ -174,7 +205,12 @@ class PatchDataset:
 
 class BatchScheduler:
     """Fixed-steps-per-epoch index scheduler with without-replacement pools
-    (reference CustomBatchSampler, data_processing.py:601-643)."""
+    (reference CustomBatchSampler, data_processing.py:601-643).
+
+    As in the reference, the pool is rebuilt FRESH each epoch
+    (define_indices is called from __iter__), and a residue smaller than one
+    batch is discarded at refill — so an unshuffled (validation) schedule
+    yields IDENTICAL batches every epoch."""
 
     def __init__(self, n_samples: int, batch_size: int, number_of_steps: int,
                  shuffle: bool = True, seed: int = 0):
@@ -183,22 +219,28 @@ class BatchScheduler:
         self.number_of_steps = number_of_steps
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
-        self._pool: List[int] = []
 
-    def _refill(self):
+    def _fresh_pool(self) -> List[int]:
         pool = list(range(self.n))
         if self.shuffle:
             self._rng.shuffle(pool)
-        self._pool.extend(pool)
+        return pool
 
     def epoch_batches(self) -> List[List[int]]:
-        batches = []
-        for _ in range(self.number_of_steps):
-            while len(self._pool) < self.batch_size:
-                self._refill()
-            batches.append(self._pool[: self.batch_size])
-            self._pool = self._pool[self.batch_size:]
-        return batches
+        # flat sample order exactly as the reference builds it: refill with a
+        # fresh (re)shuffled pool whenever fewer than one batch remains
+        # (discarding the residue); datasets smaller than a batch therefore
+        # still fill every batch, spanning refills
+        total = self.number_of_steps * self.batch_size
+        order: List[int] = []
+        avail = self._fresh_pool()
+        while len(order) < total:
+            if len(avail) < self.batch_size:
+                avail = self._fresh_pool()
+            order.extend(avail[: self.batch_size])
+            avail = avail[self.batch_size:]
+        bs = self.batch_size
+        return [order[i * bs:(i + 1) * bs] for i in range(self.number_of_steps)]
 
 
 class PrefetchLoader:
@@ -213,7 +255,13 @@ class PrefetchLoader:
         prefetch_depth: int = 4,
         seed: int = 0,
         row_slice=None,
+        deterministic: bool = False,
     ):
+        """deterministic: key every batch's sampling RNG on its position
+        WITHIN the epoch instead of a run-global counter, so each epoch
+        replays identical crops — the validation setting (with fixed-center
+        bboxes, the val loss over frozen params has zero epoch-to-epoch
+        variance)."""
         self.dataset = dataset
         self.number_of_steps = number_of_steps
         self.scheduler = BatchScheduler(
@@ -221,6 +269,8 @@ class PrefetchLoader:
         )
         self.num_threads = max(1, num_threads)
         self.prefetch_depth = prefetch_depth
+        self.deterministic = deterministic
+        self._seed0 = seed
         self._seed_counter = seed
         # multi-host: build only this process's (offset, count) slice of the
         # GLOBAL batch schedule (parallel.mesh.data_axis_rows). The schedule
@@ -273,11 +323,15 @@ class PrefetchLoader:
             return False
 
         def producer():
-            for b in batches:
+            for step, b in enumerate(batches):
                 if stop.is_set():
                     return
-                self._seed_counter += 1
-                if not put(self._build_batch(b, self._seed_counter)):
+                if self.deterministic:
+                    base_seed = self._seed0 * 1_000_003 + step
+                else:
+                    self._seed_counter += 1
+                    base_seed = self._seed_counter
+                if not put(self._build_batch(b, base_seed)):
                     return
             put(sentinel)
 
@@ -380,8 +434,15 @@ def get_data_loaders(
         include_labels=bool(config.get("include_labels", False)),
         n_classes=int(config.get("n_classes", 1)),
         class_map=class_map,
+        probabilistic_oversampling=bool(
+            config.get("probabilistic_oversampling", False)
+        ),
     )
-    train_ds = PatchDataset(data_ids=ids["train"], section="training", **common)
+    train_ds = PatchDataset(
+        data_ids=ids["train"], section="training",
+        initial_patch_size=compute_initial_patch_size(transformations, patch_size),
+        **common,
+    )
     val_ds = PatchDataset(data_ids=ids["val"], section="validation", **common)
 
     threads = num_threads if num_threads is not None else config.get("num_workers", 8)
@@ -391,6 +452,6 @@ def get_data_loaders(
     )
     val_loader = PrefetchLoader(
         val_ds, val_steps, shuffle=False, num_threads=threads, seed=2,
-        row_slice=row_slice,
+        row_slice=row_slice, deterministic=True,
     )
     return train_loader, val_loader

@@ -90,12 +90,19 @@ def lower_ae_train_step(config: dict, batch_size: int,
 
 
 def _lower_with_trainer(cfg, batch_size, AutoEncoderTrainer, common):
+    from medical_image_generation_tpu.data.patches import (
+        compute_initial_patch_size,
+    )
+
     trainer = AutoEncoderTrainer(cfg, dtype=jnp.bfloat16)
 
     spatial_dims = trainer.spatial_dims
     patch = list(cfg["ae_transformations"]["patch_size"])
     if spatial_dims == 2 and len(patch) == 3:
         patch = patch[-2:]
+    # the loader extracts the (possibly rotation/scale-enlarged) INITIAL
+    # patch for training; the probe must price that exact batch shape
+    patch = list(compute_initial_patch_size(cfg["ae_transformations"], patch))
     x_shape = (batch_size, *patch, trainer.in_channels)
 
     def make_states(rng):

@@ -200,6 +200,17 @@ def create_config_dict(
         "mirror": True,
         "dummy_2d": False,
         "elastic": False,  # reference CLI switch (configuration.py:70), off by default
+        # "soft" = the reference's image-generation branch
+        # (data_processing.py:400-416); "nnunet" = its heavy nnU-Net branch
+        # (:371-397) with anisotropy-aware 3D rotation and wider ranges
+        "aug_preset": "soft",
+        # extract a rotation/scale-enlarged training patch and crop back to
+        # patch_size AFTER the device spatial transform, so rotated/zoomed
+        # samples have no zero-filled corners (nnU-Net get_initial_patch_size,
+        # reference data_processing.py:339-359). Emitted true for new plans;
+        # configs without the key keep the reference soft-branch behavior
+        # (final-size patch, zero corners under rotation).
+        "initial_patch_enlargement": True,
     }
     ddpm_transformations = dict(ae_transformations, rotation=False)
 
@@ -236,6 +247,10 @@ def create_config_dict(
         "grad_clip_max_norm": 1,
         "grad_accumulate_step": 1,
         "oversample_ratio": 0.33,
+        # False = batch-position oversampling (_oversample_last_XX_percent,
+        # the reference default); True = per-sample coin at oversample_ratio
+        # (reference _probabilistic_oversampling, data_processing.py:431)
+        "probabilistic_oversampling": False,
         "num_workers": 8,
         "lr_scheduler": None,
         "lr_scheduler_params": {"total_iters": n_epochs, "power": 0.9},
@@ -244,6 +259,17 @@ def create_config_dict(
             "schedule": "scaled_linear_beta",
             "beta_start": 0.0015,
             "beta_end": 0.0205,
+            "prediction_type": "epsilon",
+        },
+        # the pixel-space DDPM trainer's OWN schedule (reference
+        # train_ddpm.py:380-381 hardcodes beta 0.0005->0.0195 on MONAI's
+        # default linear_beta ramp, distinct from the LDM's scaled-linear
+        # 0.0015->0.0205); filter_config_by_mode swaps it in for train_ddpm
+        "ddpm_time_scheduler_params": {
+            "num_train_timesteps": 1000,
+            "schedule": "linear_beta",
+            "beta_start": 0.0005,
+            "beta_end": 0.0195,
             "prediction_type": "epsilon",
         },
         "ae_learning_rate": 5e-5,

@@ -390,8 +390,11 @@ def main():
         args.dataset_id, args.model_type, "ddpm",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
-    config = apply_overrides(config, args.overrides)
+    # filter BEFORE overrides: mode filtering swaps the DDPM-specific
+    # ddpm_time_scheduler_params into time_scheduler_params, and a user's
+    # --set time_scheduler_params.* must win over that swap
     config = filter_config_by_mode(config, "train_ddpm")
+    config = apply_overrides(config, args.overrides)
     print_configuration(config, config["results_path"], "train", model="ddpm")
     trainer = DDPMTrainer(config)
     train_loader, val_loader = get_data_loaders(

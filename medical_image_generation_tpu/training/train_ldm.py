@@ -32,7 +32,11 @@ from medical_image_generation_tpu.config.run import (
     get_config_for_current_task,
     print_configuration,
 )
-from medical_image_generation_tpu.data.augment import AugmentConfig, augment_batch
+from medical_image_generation_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    center_crop_batch,
+)
 from medical_image_generation_tpu.data.loader import get_data_loaders, unpack_batch
 from medical_image_generation_tpu.diffusion.sampler import (
     DDIMSampler,
@@ -160,6 +164,10 @@ class LDMTrainer:
         """Fix latent shape + scale factor from one batch
         (reference train_ldm.py:98-118)."""
         batch = jnp.asarray(unpack_batch(next(iter(train_loader)))[0])
+        if self.aug_cfg.crop_to is not None:
+            # training batches may carry the enlarged initial patch; the
+            # latent geometry is defined by the FINAL (post-augment) size
+            batch = center_crop_batch(batch, self.aug_cfg.crop_to)
         z = self._encode(self.ae_params, batch, jax.random.PRNGKey(0))
         if self.latent_space_type == "vae":
             self.scale_factor = float(1.0 / (jnp.std(z) + 1e-8))

@@ -27,24 +27,8 @@ from medical_image_generation_tpu.io.volstore import write_volume
 from medical_image_generation_tpu.planning.preprocess import save_properties
 
 
-@pytest.fixture
-def preprocessed_dataset(tmp_path):
-    """A tiny preprocessed dataset: 6 patients, (1, 12, 24, 24) volumes."""
-    root = tmp_path / "pre"
-    ds = root / "Task099_Synth"
-    images = ds / "imagesTr"
-    images.mkdir(parents=True)
-    (ds / "labelsTr").mkdir()
-    rng = np.random.default_rng(0)
-    for i in range(6):
-        pid = f"p{i:03d}"
-        vol = rng.uniform(0, 1, size=(1, 12, 24, 24)).astype(np.float32)
-        write_volume(str(images / f"{pid}.vs"), vol, chunk_shape=(1, 1, 24, 24))
-        locs = {1: [(z, 12, 12) for z in range(3, 9)]}
-        save_properties(str(images), pid, {"class_locations": locs, "min_max": [(0.0, 1.0)]})
-    with open(ds / "dataset.json", "w") as f:
-        json.dump({"n_patients": 6}, f)
-    return str(root), "099"
+# (preprocessed_dataset fixture lives in conftest.py — shared with
+# test_patch_parity.py)
 
 
 class TestSplits:
@@ -116,10 +100,28 @@ class TestScheduler:
         batches = s.epoch_batches()
         assert len(batches) == 10
         assert all(len(b) == 2 for b in batches)
-        # every sample appears before any repeats beyond pool exhaustion
+        # reference semantics (CustomBatchSampler.define_indices): the pool
+        # refills fresh whenever < one batch remains, DISCARDING the residue
+        # — so with n=5, bs=2 each refill uses 4 of 5 samples; every sample
+        # still appears (shuffled refills rotate the discarded one) and no
+        # batch contains a duplicate
         flat = [i for b in batches for i in b]
-        counts = np.bincount(flat, minlength=5)
-        assert counts.max() - counts.min() <= 1
+        assert set(flat) == set(range(5))
+        assert all(len(set(b)) == len(b) for b in batches)
+
+    def test_epochs_rebuild_fresh_pools(self):
+        # reference parity: define_indices() runs per __iter__, so an
+        # unshuffled (validation) schedule yields IDENTICAL epochs
+        s = BatchScheduler(n_samples=7, batch_size=2, number_of_steps=5,
+                           shuffle=False)
+        e1, e2 = s.epoch_batches(), s.epoch_batches()
+        assert e1 == e2
+
+    def test_small_dataset_fills_batches(self):
+        # datasets smaller than one batch must still fill every batch
+        s = BatchScheduler(n_samples=2, batch_size=5, number_of_steps=4)
+        batches = s.epoch_batches()
+        assert all(len(b) == 5 for b in batches)
 
 
 class TestLoader:
@@ -279,10 +281,17 @@ class TestAugment:
         vae = create_autoencoder_dict(ds, [0], spatial_dims=3)
         ddpm = create_ddpm_dict(ds, spatial_dims=3)
         cfg = create_config_dict(ds, [0], 1, vae, ddpm)
-        keys = set(cfg["ae_transformations"]) - {"patch_size"}
+        # aug_preset / initial_patch_enlargement are consumed by
+        # patches.spatial_aug_params (geometry), not AugmentConfig switches
+        geometry_keys = {"patch_size", "aug_preset", "initial_patch_enlargement"}
+        keys = set(cfg["ae_transformations"]) - geometry_keys
         assert keys <= set(AugmentConfig._fields), (
             keys - set(AugmentConfig._fields)
         )
+        from medical_image_generation_tpu.data.patches import spatial_aug_params
+
+        geo = spatial_aug_params(cfg["ae_transformations"])
+        assert geo["patch_size"] == tuple(cfg["ae_transformations"]["patch_size"])
 
     def test_rotation_moves_pixels(self):
         # force rotation by sampling many rngs; at least one should rotate

@@ -1,0 +1,361 @@
+"""Patch-sampling parity trio + augmentation presets (round-4 items):
+
+* rotation/scale-aware initial patch enlargement (reference
+  get_initial_patch_size, data_processing.py:339-359) — rotated/zoomed
+  training samples have NO zero-filled corners, shapes stay static;
+* probabilistic_oversampling (reference data_processing.py:431, ctor :276);
+* fixed-center validation crops + deterministic val loader epochs
+  (reference val SpatialTransform, data_processing.py:850-857);
+* the heavy nnU-Net augmentation preset (reference data_processing.py:371-397).
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_generation_tpu.data.augment import (
+    AugmentConfig,
+    _rotate_scale_3d,
+    _rotate_scale_plane,
+    augment_batch,
+    center_crop_batch,
+)
+from medical_image_generation_tpu.data.patches import (
+    compute_initial_patch_size,
+    get_bbox,
+    get_initial_patch_size,
+    oversample_probabilistic,
+    spatial_aug_params,
+)
+
+
+SOFT_3D = {
+    "patch_size": [64, 96, 96], "rotation": True, "scaling": True,
+    "mirror": True, "brightness": False, "contrast": False, "gamma": False,
+    "initial_patch_enlargement": True,
+}
+
+
+class TestInitialPatchSize:
+    def test_2d_reference_formula(self):
+        # the reference/nnU-Net heuristic rotates the size VECTOR
+        # (data_processing.py:339-359): one component shrinks, one grows
+        a = math.pi * 15 / 180
+        c, s = math.cos(a), math.sin(a)
+        exp = [int(max(128, abs(c * 128 - s * 128)) / 0.7),
+               int((s * 128 + c * 128) / 0.7)]
+        got = get_initial_patch_size([128, 128], a, 0, 0, (0.7, 1.4))
+        assert got == exp
+
+    def test_2d_covering_formula(self):
+        # covering mode: bounding extent of the rotated BOX — both axes need
+        # h*cos + w*sin, so no corner of the final grid leaves the patch
+        a = math.pi * 15 / 180
+        exp = math.ceil((128 * math.cos(a) + 128 * math.sin(a)) / 0.7)
+        got = get_initial_patch_size([128, 128], a, 0, 0, (0.7, 1.4),
+                                     covering=True)
+        assert got == [exp, exp]
+        # covering always >= the reference heuristic
+        ref = get_initial_patch_size([128, 128], a, 0, 0, (0.7, 1.4))
+        assert all(g >= r for g, r in zip(got, ref))
+
+    def test_3d_inplane_rotation_leaves_depth(self):
+        # rotation about patch axis 0 (depth): axis 0 extent unchanged
+        a = 0.174533
+        got = get_initial_patch_size([64, 96, 96], a, 0, 0, (1.0, 1.0),
+                                     covering=True)
+        exp_plane = math.ceil(96 * math.cos(a) + 96 * math.sin(a))
+        assert got == [64, exp_plane, exp_plane]
+
+    def test_scale_divides(self):
+        got = get_initial_patch_size([50, 60], 0.0, 0, 0, (0.9, 1.1))
+        assert got == [int(50 / 0.9), int(60 / 0.9)]
+
+    def test_rotation_clamped_to_90deg(self):
+        a90 = get_initial_patch_size([40, 40], math.pi / 2, 0, 0, (1, 1))
+        a180 = get_initial_patch_size([40, 40], math.pi, 0, 0, (1, 1))
+        assert a90 == a180
+
+    def test_soft_3d_geometry(self):
+        geo = spatial_aug_params(SOFT_3D)
+        a, smin = 0.174533, 0.9
+        exp = math.ceil((96 * math.cos(a) + 96 * math.sin(a)) / smin)
+        assert geo["initial_patch_size"] == (64, exp, exp)
+        assert geo["rot_3d"] is False
+        assert geo["mirror_axes"] == (2,)
+
+    def test_enlargement_off_without_key(self):
+        t = dict(SOFT_3D)
+        del t["initial_patch_enlargement"]
+        assert compute_initial_patch_size(t) == (64, 96, 96)
+
+    def test_enlargement_off_without_spatial_transforms(self):
+        t = dict(SOFT_3D, rotation=False, scaling=False)
+        assert compute_initial_patch_size(t) == (64, 96, 96)
+
+    def test_ddpm_scaling_only(self):
+        # the planner's ddpm_transformations: rotation off, scaling on
+        t = dict(SOFT_3D, rotation=False)
+        e = math.ceil(96 / 0.9)
+        assert compute_initial_patch_size(t) == (64, e, e)
+
+
+class TestNNUNetPreset:
+    def test_anisotropic_3d_goes_dummy_2d(self):
+        t = dict(SOFT_3D, patch_size=[16, 128, 128], aug_preset="nnunet")
+        geo = spatial_aug_params(t)
+        assert geo["dummy_2d"] is True and geo["rot_3d"] is False
+        assert geo["rot_range"] == pytest.approx(math.pi)
+        # dummy-2D keeps z at the final size (reference :397)
+        assert geo["initial_patch_size"][0] == 16
+        assert geo["initial_patch_size"][1] > 128
+
+    def test_isotropic_3d_full_rotation(self):
+        t = dict(SOFT_3D, patch_size=[64, 64, 64], aug_preset="nnunet")
+        geo = spatial_aug_params(t)
+        assert geo["dummy_2d"] is False and geo["rot_3d"] is True
+        assert geo["rot_range"] == pytest.approx(math.pi * 30 / 180)
+        assert geo["scale_range"] == (0.7, 1.4)
+        assert geo["bright_range"] == (0.75, 1.25)
+        assert geo["gamma_range"] == (0.7, 1.5)
+        assert geo["mirror_axes"] == (0, 1, 2)
+        initial = geo["initial_patch_size"]
+        # near-symmetric (the Rx·Ry·Rz composition order skews the sampled
+        # maxima by a voxel or two); each axis needs at least the single-axis
+        # covering extent and at most the full diagonal (±90° worst case)
+        a = math.pi / 6
+        lo = math.ceil((64 * math.cos(a) + 64 * math.sin(a)) / 0.7)
+        hi = math.ceil(64 * math.sqrt(3) / 0.7)
+        assert max(initial) - min(initial) <= 4
+        assert all(lo <= v <= hi for v in initial)
+
+    def test_2d_aspect_rule(self):
+        sq = spatial_aug_params({"patch_size": [128, 128], "aug_preset": "nnunet"})
+        assert sq["rot_range"] == pytest.approx(math.pi)
+        wide = spatial_aug_params({"patch_size": [64, 128], "aug_preset": "nnunet"})
+        assert wide["rot_range"] == pytest.approx(math.pi * 15 / 180)
+
+    def test_unknown_preset_rejected(self):
+        with pytest.raises(ValueError, match="aug_preset"):
+            spatial_aug_params({"patch_size": [32, 32], "aug_preset": "hard"})
+
+    def test_config_switch_propagates(self):
+        t = dict(SOFT_3D, patch_size=[64, 64, 64], aug_preset="nnunet")
+        cfg = AugmentConfig.from_transformations(t)
+        assert cfg.rot_3d and cfg.scale_range == (0.7, 1.4)
+        assert cfg.crop_to == (64, 64, 64)
+        assert cfg.mirror_axes == (0, 1, 2)
+
+
+class TestNoZeroCorners:
+    def test_rotated_plane_from_enlarged_input_has_no_zeros(self):
+        # worst case of the soft branch: max angle AND max zoom-out, from a
+        # covering-enlarged input
+        e = get_initial_patch_size([32, 32], 0.174533, 0, 0, (0.9, 1.1),
+                                   covering=True)
+        img = jnp.ones((*e, 1))
+        out = _rotate_scale_plane(img, jnp.float32(0.174533), jnp.float32(0.9),
+                                  out_hw=(32, 32))
+        assert out.shape == (32, 32, 1)
+        assert float(out.min()) > 0.99  # bilinear of all-ones stays 1
+
+    def test_rotated_final_size_input_has_zero_corners(self):
+        # the behavior enlargement removes (reference soft branch artifact)
+        img = jnp.ones((32, 32, 1))
+        out = _rotate_scale_plane(img, jnp.float32(0.174533), jnp.float32(1.0))
+        assert float(out.min()) == 0.0
+
+    def test_augment_batch_enlarged_never_zero(self):
+        t = dict(SOFT_3D, patch_size=[8, 32, 32])
+        cfg = AugmentConfig.from_transformations(t)
+        initial = compute_initial_patch_size(t)
+        batch = jnp.ones((16, *initial, 1))
+        out = augment_batch(batch, jax.random.PRNGKey(3), cfg)
+        assert out.shape == (16, 8, 32, 32, 1)  # static final shape
+        # with p_rot=0.2/p_scale=0.2 over 16 samples several were resampled;
+        # none may contain a zero-filled corner
+        assert float(out.min()) > 0.95
+
+    def test_nnunet_3d_enlarged_never_zero(self):
+        t = {"patch_size": [16, 16, 16], "aug_preset": "nnunet",
+             "rotation": True, "scaling": True, "mirror": False,
+             "brightness": False, "contrast": False, "gamma": False}
+        cfg = AugmentConfig.from_transformations(t)
+        initial = compute_initial_patch_size(t)
+        assert cfg.rot_3d
+        batch = jnp.ones((16, *initial, 1))
+        out = augment_batch(batch, jax.random.PRNGKey(0), cfg)
+        assert out.shape == (16, 16, 16, 16, 1)
+        assert float(out.min()) > 0.95
+
+
+class TestRotate3D:
+    def test_matches_scipy_affine(self):
+        from scipy.ndimage import affine_transform
+
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(0.2, 1.0, (12, 14, 16, 1)).astype(np.float32)
+        ax, ay, az, scale = 0.3, -0.2, 0.45, 0.93
+
+        out = np.asarray(_rotate_scale_3d(
+            jnp.asarray(vol), jnp.asarray([ax, ay, az], jnp.float32),
+            jnp.float32(scale),
+        ))[..., 0]
+
+        def rot_axis(a, axis):
+            c, s = math.cos(a), math.sin(a)
+            m = np.eye(3)
+            if axis == 0:
+                m[1:, 1:] = [[c, -s], [s, c]]
+            elif axis == 1:
+                m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, -s, s, c
+            else:
+                m[:2, :2] = [[c, -s], [s, c]]
+            return m
+
+        R = rot_axis(ax, 0) @ rot_axis(ay, 1) @ rot_axis(az, 2)
+        matrix = R.T / scale
+        center = (np.array(vol.shape[:3]) - 1) / 2.0
+        offset = center - matrix @ center
+        # grid-constant: OOB voxels blend toward cval exactly as our masked
+        # trilinear gather does (legacy 'constant' snaps instead of blending)
+        ref = affine_transform(vol[..., 0], matrix, offset=offset, order=1,
+                               mode="grid-constant", cval=0.0)
+        # interior only: boundary voxels differ in OOB weighting conventions
+        s = (slice(2, -2),) * 3
+        np.testing.assert_allclose(out[s], ref[s], atol=2e-5)
+
+    def test_all_ones_interior_preserved(self):
+        vol = jnp.ones((10, 10, 10, 2))
+        out = _rotate_scale_3d(vol, jnp.asarray([0.2, 0.1, -0.15]),
+                               jnp.float32(1.0), out_zyx=(6, 6, 6))
+        assert float(out.min()) > 0.99
+
+
+class TestProbabilisticOversampling:
+    def test_rate(self):
+        rng = np.random.default_rng(0)
+        hits = sum(oversample_probabilistic(0.33, rng) for _ in range(5000))
+        assert abs(hits / 5000 - 0.33) < 0.03
+
+    def test_dataset_flag_switches_method(self, preprocessed_dataset):
+        from medical_image_generation_tpu.data.loader import PatchDataset
+
+        root, _ = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ids = [f"p{i:03d}" for i in range(6)]
+        # batch position 0 of an oversample_ratio=1.0 batch: position-based
+        # forcing says EVERY position is forced; probabilistic with ratio 0
+        # never forces. Distinguish via the fg-centered z when forced.
+        ds = PatchDataset(images, ids, batch_size=2, patch_size=(4, 16, 16),
+                          oversample_ratio=0.0, probabilistic_oversampling=True)
+        p = ds.sample_patch(1, 0, np.random.default_rng(0))
+        assert p.shape == (4, 16, 16, 1)  # smoke: flag accepted end-to-end
+
+
+class TestValDeterminism:
+    def test_get_bbox_zero_jitter_is_fixed_center(self):
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            lbs, ubs = get_bbox((32, 64, 64), (8, 16, 16), False, None, rng,
+                                jitter=0)
+            assert lbs[1] == (64 // 2) - 8 and lbs[2] == (64 // 2) - 8
+
+    def test_val_loader_epochs_identical(self, preprocessed_dataset):
+        from medical_image_generation_tpu.data.loader import (
+            PatchDataset,
+            PrefetchLoader,
+        )
+
+        root, _ = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ids = [f"p{i:03d}" for i in range(6)]
+        ds = PatchDataset(images, ids, batch_size=2, patch_size=(4, 16, 16),
+                          section="validation")
+        loader = PrefetchLoader(ds, number_of_steps=4, shuffle=False,
+                                num_threads=2, seed=2, deterministic=True)
+        e1 = [np.asarray(b) for b in loader]
+        e2 = [np.asarray(b) for b in loader]
+        for a, b in zip(e1, e2):
+            np.testing.assert_array_equal(a, b)
+
+    def test_train_loader_epochs_differ(self, preprocessed_dataset):
+        from medical_image_generation_tpu.data.loader import (
+            PatchDataset,
+            PrefetchLoader,
+        )
+
+        root, _ = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ids = [f"p{i:03d}" for i in range(6)]
+        ds = PatchDataset(images, ids, batch_size=2, patch_size=(4, 16, 16),
+                          section="training")
+        loader = PrefetchLoader(ds, number_of_steps=4, shuffle=True,
+                                num_threads=2, seed=1)
+        e1 = np.stack([np.asarray(b) for b in loader])
+        e2 = np.stack([np.asarray(b) for b in loader])
+        assert np.abs(e1 - e2).max() > 0
+
+
+class TestEnlargedBbox:
+    def test_final_patch_reaches_edges(self):
+        # with enlargement the initial bbox may hang off the volume by the
+        # enlargement margin on the randomly-placed z axis (reference
+        # need_to_pad baseline = initial - final), so the FINAL crop can
+        # still cover the volume borders after the device center-crop
+        lows, highs = [], []
+        for seed in range(300):
+            rng = np.random.default_rng(seed)
+            lbs, ubs = get_bbox((32, 64, 64), (20, 20, 20), False, None, rng,
+                                final_patch_size=(16, 16, 16), jitter=10)
+            lows.append(lbs[0])
+            highs.append(ubs[0])
+        assert min(lows) < 0  # margin hangs off the near edge
+        assert max(highs) > 32  # and off the far edge
+        # without enlargement the z bbox stays strictly inside
+        lows0 = []
+        for seed in range(300):
+            rng = np.random.default_rng(seed)
+            lbs, _ = get_bbox((32, 64, 64), (16, 16, 16), False, None, rng)
+            lows0.append(lbs[0])
+        assert min(lows0) >= 0
+
+    def test_loader_emits_enlarged_then_augment_crops(self, preprocessed_dataset):
+        from medical_image_generation_tpu.data.loader import PatchDataset
+
+        root, _ = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ids = [f"p{i:03d}" for i in range(6)]
+        t = {"patch_size": [4, 16, 16], "rotation": True, "scaling": True,
+             "initial_patch_enlargement": True}
+        initial = compute_initial_patch_size(t)
+        ds = PatchDataset(images, ids, batch_size=2, patch_size=(4, 16, 16),
+                          initial_patch_size=initial)
+        patch = ds.sample_patch(0, 0, np.random.default_rng(0))
+        assert patch.shape == (*initial, 1)
+        cfg = AugmentConfig.from_transformations(t)
+        out = augment_batch(patch[None], jax.random.PRNGKey(0), cfg)
+        assert out.shape == (1, 4, 16, 16, 1)
+
+    def test_val_section_ignores_initial(self, preprocessed_dataset):
+        from medical_image_generation_tpu.data.loader import PatchDataset
+
+        root, _ = preprocessed_dataset
+        images = os.path.join(root, "Task099_Synth", "imagesTr")
+        ds = PatchDataset(images, ["p000"], batch_size=1,
+                          patch_size=(4, 16, 16), section="validation",
+                          initial_patch_size=(4, 20, 20))
+        patch = ds.sample_patch(0, 0, np.random.default_rng(0))
+        assert patch.shape == (4, 16, 16, 1)
+
+
+class TestCenterCropBatch:
+    def test_crop_and_identity(self):
+        b = np.arange(2 * 6 * 6 * 1, dtype=np.float32).reshape(2, 6, 6, 1)
+        out = center_crop_batch(b, (4, 4))
+        np.testing.assert_array_equal(out, b[:, 1:5, 1:5])
+        np.testing.assert_array_equal(center_crop_batch(b, (6, 6)), b)

@@ -247,3 +247,50 @@ class TestFilterConfigByMode:
         cfg = dict(self._cfg(), latent_space_type="vq", vqvae_params={"x": 1})
         out = filter_config_by_mode(cfg, "train_autoencoder")
         assert "vae_params" not in out and "vqvae_params" in out
+
+    def test_ddpm_mode_swaps_in_ddpm_schedule(self):
+        """medimgen_train_ddpm defaults to the reference DDPM trainer's own
+        schedule (train_ddpm.py:380-381: linear_beta 0.0005->0.0195), not
+        the LDM's scaled-linear ramp — emitted by the planner as
+        ddpm_time_scheduler_params and swapped in by mode filtering."""
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        cfg = dict(
+            self._cfg(),
+            time_scheduler_params={"schedule": "scaled_linear_beta",
+                                   "beta_start": 0.0015, "beta_end": 0.0205},
+            ddpm_time_scheduler_params={"schedule": "linear_beta",
+                                        "beta_start": 0.0005,
+                                        "beta_end": 0.0195},
+        )
+        out = filter_config_by_mode(cfg, "train_ddpm")
+        assert out["time_scheduler_params"]["beta_start"] == 0.0005
+        assert out["time_scheduler_params"]["schedule"] == "linear_beta"
+        assert "ddpm_time_scheduler_params" not in out
+        # other modes keep the LDM schedule and drop the DDPM-specific key
+        out_ldm = filter_config_by_mode(cfg, "train_ldm")
+        assert out_ldm["time_scheduler_params"]["beta_start"] == 0.0015
+        assert "ddpm_time_scheduler_params" not in out_ldm
+
+    def test_ddpm_mode_without_planner_key_keeps_schedule(self):
+        from medical_image_generation_tpu.config.run import filter_config_by_mode
+
+        cfg = dict(self._cfg(),
+                   time_scheduler_params={"beta_start": 0.0015})
+        out = filter_config_by_mode(cfg, "train_ddpm")
+        assert out["time_scheduler_params"]["beta_start"] == 0.0015
+
+    def test_planner_emits_ddpm_schedule(self):
+        from medical_image_generation_tpu.planning.planner import (
+            create_autoencoder_dict,
+            create_config_dict,
+            create_ddpm_dict,
+        )
+
+        ds = {"median_shape": (64, 64, 64), "max_shape": (64, 64, 64)}
+        vae = create_autoencoder_dict(ds, [0], spatial_dims=3)
+        ddpm = create_ddpm_dict(ds, spatial_dims=3)
+        cfg = create_config_dict(ds, [0], 1, vae, ddpm)
+        assert cfg["ddpm_time_scheduler_params"]["beta_start"] == 0.0005
+        assert cfg["ddpm_time_scheduler_params"]["beta_end"] == 0.0195
+        assert cfg["time_scheduler_params"]["beta_start"] == 0.0015
