@@ -2,11 +2,18 @@
 
 Measures the SHIPPED latent-diffusion train step — ``LDMTrainer._make_train_step``
 verbatim — at the planner-derived flagship configuration for a 128^3-median
-dataset (BASELINE.json north-star): device-side augmentation of the
-(2, 128, 128, 128, 1) bf16 batch, frozen KL-VAE encode, noising, the
+dataset (BASELINE.json north-star): device-side augmentation of the batch the
+host loader actually emits — the scale-ENLARGED initial patch
+(2, 128, 143, 143, 1) under the planner default ``initial_patch_enlargement:
+true`` (data/patches.py compute_initial_patch_size; the step's augmentation
+samples/crops back to 128^3) — then frozen KL-VAE encode, noising, the
 441M-parameter strided 3D diffusion U-Net forward+backward, global-norm clip
 and AdamW (bf16 first moment) — one jitted XLA program with donated state.
 Params are randomly initialized (host-side, seed-fixed), not zeros.
+
+Set MEDIMGEN_BENCH_ENLARGE=0 to A/B the reference-parity non-enlarged mode
+(``initial_patch_enlargement: false`` → a (2, 128, 128, 128, 1) batch), which
+is NOT the shipped default program.
 
 Baseline bookkeeping: the reference publishes NO numbers (BASELINE.md).
 ``vs_baseline`` is therefore measured against the BASELINE.json target of
@@ -63,6 +70,9 @@ def build_trainer_step():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_configs
+    from medical_image_generation_tpu.data.patches import (
+        compute_initial_patch_size,
+    )
     from medical_image_generation_tpu.planning.planner import (
         compute_output_size,
         create_config_dict,
@@ -80,10 +90,21 @@ def build_trainer_step():
     config["results_path"] = os.path.join(tmp, "results")
     config["task"] = "TaskBench"
 
+    if os.environ.get("MEDIMGEN_BENCH_ENLARGE", "1") == "0":
+        # A/B mode: reference-parity non-enlarged patches (see module doc)
+        config["ddpm_transformations"] = dict(
+            config["ddpm_transformations"], initial_patch_enlargement=False
+        )
+
+    # the batch the host loader emits for training: the (possibly enlarged)
+    # initial patch; the jitted step augments + crops back to 128^3
+    initial = compute_initial_patch_size(config["ddpm_transformations"])
+    sys.stderr.write(f"bench batch spatial shape: {tuple(initial)}\n")
+
     # fabricate the frozen stage-1 checkpoint (random weights, real format);
     # the batch is random float32 in [0,1] — what the host loader emits
     batch = jax.random.uniform(
-        jax.random.PRNGKey(42), (BATCH, 128, 128, 128, 1), jnp.float32
+        jax.random.PRNGKey(42), (BATCH, *initial, 1), jnp.float32
     )
     rng = jax.random.PRNGKey(0)
     from medical_image_generation_tpu.models.autoencoder_kl import AutoencoderKL
@@ -147,8 +168,11 @@ def main():
         elapsed = time.time() - t0
 
     steps_per_sec = N_MEASURE / elapsed
+    enlarged = os.environ.get("MEDIMGEN_BENCH_ENLARGE", "1") != "0"
+    shape_tag = "enlarged 128x143x143 patch" if enlarged else "128^3 patch"
     result = {
-        "metric": "3D LDM shipped train step/sec/chip @128^3 (batch 2, bf16, 441M UNet)",
+        "metric": "3D LDM shipped train step/sec/chip @128^3 "
+                  f"(batch 2 of {shape_tag}, bf16, 441M UNet)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / (TARGET_MULTIPLE * REF_A100_STEPS_PER_SEC), 4),

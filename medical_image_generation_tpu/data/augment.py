@@ -75,7 +75,14 @@ class AugmentConfig(NamedTuple):
     crop_to: Optional[Tuple[int, ...]] = None  # final spatial shape
 
     @staticmethod
-    def from_transformations(t: Dict) -> "AugmentConfig":
+    def from_transformations(t: Dict, spatial_dims: Optional[int] = None) -> "AugmentConfig":
+        """Build the device-augmentation config from a transformations dict.
+
+        ``spatial_dims``: the MODEL's spatial rank. A 2D model may carry a
+        3-length ``patch_size`` in its config (the loader and trainers trim
+        it, loader.py get_data_loaders); the geometry here must match the
+        rank-2 batches the loader emits or ``_augment_one``'s crop_to check
+        trips at trace time. None keeps the config's rank as-is."""
         base = dict(
             rotation=t.get("rotation", True),
             scaling=t.get("scaling", True),
@@ -92,7 +99,10 @@ class AugmentConfig(NamedTuple):
         if "patch_size" in t:
             from medical_image_generation_tpu.data.patches import spatial_aug_params
 
-            geo = spatial_aug_params(t)
+            patch = list(t["patch_size"])
+            if spatial_dims is not None and len(patch) > spatial_dims:
+                patch = patch[-spatial_dims:]
+            geo = spatial_aug_params(t, patch)
             base.update(
                 rot_range=geo["rot_range"],
                 rot_3d=geo["rot_3d"],

@@ -124,7 +124,7 @@ class AutoEncoderTrainer:
         self.clip = float(config.get("grad_clip_max_norm", 1.0))
 
         self.aug_cfg = AugmentConfig.from_transformations(
-            config.get("ae_transformations", {})
+            config.get("ae_transformations", {}), spatial_dims=self.spatial_dims
         )
 
         self.save_dict, self.save_path = create_save_path_dict(config)

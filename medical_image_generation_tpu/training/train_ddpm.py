@@ -84,7 +84,7 @@ class DDPMTrainer:
         self.grad_accum = int(config.get("grad_accumulate_step", 1))
         self.clip = float(config.get("grad_clip_max_norm", 1.0))
         self.aug_cfg = AugmentConfig.from_transformations(
-            config.get("ddpm_transformations", {})
+            config.get("ddpm_transformations", {}), spatial_dims=self.spatial_dims
         )
         self.patch_size = tuple(config["ddpm_transformations"]["patch_size"])
         if self.spatial_dims == 2 and len(self.patch_size) == 3:

@@ -116,7 +116,7 @@ class LDMTrainer:
         self.grad_accum = int(config.get("grad_accumulate_step", 1))
         self.clip = float(config.get("grad_clip_max_norm", 1.0))
         self.aug_cfg = AugmentConfig.from_transformations(
-            config.get("ddpm_transformations", {})
+            config.get("ddpm_transformations", {}), spatial_dims=self.spatial_dims
         )
 
         self.save_dict, self.save_path = create_save_path_dict(config)

@@ -150,6 +150,49 @@ class TestNNUNetPreset:
         assert cfg.crop_to == (64, 64, 64)
         assert cfg.mirror_axes == (0, 1, 2)
 
+    def test_2d_model_with_3d_patch_size_trims(self):
+        # a 2D model's config may carry a 3-length patch_size (the loader
+        # trims it to the trailing plane, loader.py get_data_loaders); the
+        # augmentation geometry must match the RANK-2 batches the loader
+        # emits, or _augment_one's crop_to rank check trips at trace time
+        # (round-4 advisor, augment.py:92)
+        t = dict(SOFT_3D, patch_size=[48, 40, 32],
+                 initial_patch_enlargement=True)
+        cfg = AugmentConfig.from_transformations(t, spatial_dims=2)
+        assert cfg.crop_to == (40, 32)
+        initial = compute_initial_patch_size(t, [40, 32])
+        batch = jnp.ones((4, *initial, 1))
+        out = augment_batch(batch, jax.random.PRNGKey(5), cfg)
+        assert out.shape == (4, 40, 32, 1)
+
+    def test_2d_trainer_trims_aug_geometry(self):
+        # the DDPM trainer wires spatial_dims through (advisor regression)
+        import tempfile
+
+        from medical_image_generation_tpu.planning.planner import (
+            create_config_dict,
+            create_autoencoder_dict,
+            create_ddpm_dict,
+        )
+
+        ds = {"median_shape": (48, 40, 32), "max_shape": (48, 40, 32)}
+        vae = create_autoencoder_dict(ds, [0], spatial_dims=2)
+        ddpm = create_ddpm_dict(ds, spatial_dims=2)
+        ddpm["num_channels"] = [8, 16]
+        ddpm["num_head_channels"] = [0, 8]
+        ddpm["norm_num_groups"] = 4
+        ddpm["num_res_blocks"] = 1
+        config = create_config_dict(ds, [0], 1, vae, ddpm)
+        # force the advisor's failure shape: rank-3 patch_size on a 2D model
+        config["ddpm_transformations"]["patch_size"] = [48, 40, 32]
+        config["results_path"] = tempfile.mkdtemp(prefix="medimgen_trim_")
+        config["task"] = "TaskTrim"
+
+        from medical_image_generation_tpu.training.train_ddpm import DDPMTrainer
+
+        trainer = DDPMTrainer(config, dtype=jnp.float32)
+        assert trainer.aug_cfg.crop_to == (40, 32)
+
 
 class TestNoZeroCorners:
     def test_rotated_plane_from_enlarged_input_has_no_zeros(self):

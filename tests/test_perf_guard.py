@@ -101,13 +101,21 @@ def _abstract_flagship_step(monkeypatch):
 
 @pytest.mark.slow
 def test_flagship_step_uses_packed_encoder(monkeypatch):
-    trainer, step, args = _abstract_flagship_step(monkeypatch)
+    """The packed/unpacked choice is read from the environment at TRACE time
+    (packed_encoder.packing_viable), so each setting needs a FRESH jit object
+    — ``trainer._make_train_step()`` returns a new one per call. (Round-4
+    version lowered the SAME jit object twice; JAX's trace cache returned the
+    first jaxpr both times, so the inequality held vacuously never — the
+    guard guarded nothing.)"""
+    trainer, _, args = _abstract_flagship_step(monkeypatch)
+
     monkeypatch.delenv("MEDIMGEN_DISABLE_PACKED_ENCODER", raising=False)
     with trainer.mesh:
-        packed_text = step.lower(*args).as_text()
+        packed_text = trainer._make_train_step().lower(*args).as_text()
     monkeypatch.setenv("MEDIMGEN_DISABLE_PACKED_ENCODER", "1")
     with trainer.mesh:
-        unpacked_text = step.lower(*args).as_text()
+        unpacked_text = trainer._make_train_step().lower(*args).as_text()
+    monkeypatch.delenv("MEDIMGEN_DISABLE_PACKED_ENCODER", raising=False)
 
     # the packed encode is a structurally different program; identical
     # lowerings mean the dispatch silently fell back to the module path
@@ -122,3 +130,17 @@ def test_flagship_step_uses_packed_encoder(monkeypatch):
     )
     # and the programs differ by real structure, not a constant
     assert abs(len(packed_text) - len(unpacked_text)) > 1000
+
+    # sabotage drill: with the dispatch gate forcibly broken, the "packed"
+    # lowering collapses onto the module path — proving this guard would
+    # catch a real dispatch regression (round-4 verdict Next #3 "done =" bar)
+    from medical_image_generation_tpu.models import packed_encoder
+
+    monkeypatch.setattr(packed_encoder, "packing_viable",
+                        lambda **kw: False)
+    with trainer.mesh:
+        sabotaged_text = trainer._make_train_step().lower(*args).as_text()
+    assert sabotaged_text == unpacked_text, (
+        "sabotaged dispatch did not reproduce the unpacked lowering — the "
+        "guard's detection signal is not what it claims"
+    )
