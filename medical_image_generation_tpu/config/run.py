@@ -150,6 +150,14 @@ def apply_overrides(config: dict, overrides) -> dict:
 
     Values parse as YAML (so numbers, bools, lists and strings all work);
     dots traverse nested dicts: ``--set vae_params.num_res_blocks=3``.
+
+    All train CLIs apply overrides AFTER ``filter_config_by_mode`` (so e.g.
+    ``--set time_scheduler_params.beta_end=...`` wins over train_ddpm's
+    schedule swap); an override whose top-level key is absent from the
+    filtered config is applied but warned about — it either resurrects a key
+    the mode dropped (which nothing will read) or is misspelled. Keys that
+    are legitimately new (e.g. ``class_conditioning``) also warn, which is
+    harmless.
     """
     if not overrides:
         return config
@@ -160,6 +168,13 @@ def apply_overrides(config: dict, overrides) -> dict:
         value = yaml.safe_load(raw)
         node = config
         parts = key.split(".")
+        if parts[0] not in config:
+            print(
+                f"WARNING: --set {key}: {parts[0]!r} is not in the "
+                "mode-filtered config — either this mode does not read it "
+                "(mode filtering dropped it), it is misspelled, or it is a "
+                "new optional key"
+            )
         for part in parts[:-1]:
             if part not in node or not isinstance(node[part], dict):
                 node[part] = {}

@@ -71,6 +71,17 @@ def _rot_mats(angles: np.ndarray, axis: int) -> np.ndarray:
     return R
 
 
+def _max_cos_sin_combo(a: float, b: float, A: float) -> float:
+    """Exact max over |t| <= A of a*|cos t| + b*|sin t| (a, b >= 0).
+
+    The combo has period pi/2 in its extremes, so A clamps there; on
+    [0, pi/2] the unique interior critical point is t* = atan2(b, a), giving
+    max = f(min(A, t*)) — analytic, no angle grid."""
+    A = min(math.pi / 2, abs(A))
+    t = min(A, math.atan2(b, a))
+    return a * math.cos(t) + b * math.sin(t)
+
+
 def _covering_extent(
     patch_size: Sequence[int], rot_x: float, rot_y: float, rot_z: float
 ) -> np.ndarray:
@@ -78,14 +89,18 @@ def _covering_extent(
     the rotated BOX: ext_i = sum_j |R^-1[i, j]| * size_j, so every sampling
     coordinate of the final output grid lies inside the loaded patch — the
     guarantee the reference's vector formula lacks (it rotates the size
-    vector, which under-covers the corner along the shrinking axis)."""
+    vector, which under-covers the corner along the shrinking axis).
+
+    2D is exact (analytic maximum). 3D composed rotations sample an angle
+    grid; the caller (get_initial_patch_size) adds one voxel of slack there,
+    which strictly dominates the sub-voxel grid error: near the maximum the
+    extent is stationary, so the error is ~0.5*|f''|*h^2 with
+    |f''| <= extent <= sum(size) and grid half-spacing h <= pi/96 per axis —
+    well under 0.2 voxel even at 128^3."""
     size = np.asarray(patch_size, np.float64)
     if len(size) == 2:
-        a = min(math.pi / 2, abs(rot_x))
-        grid = np.linspace(-a, a, 181) if a > 0 else np.zeros(1)
-        c, s = np.abs(np.cos(grid)), np.abs(np.sin(grid))
-        ey = (c * size[0] + s * size[1]).max()
-        ex = (s * size[0] + c * size[1]).max()
+        ey = _max_cos_sin_combo(size[0], size[1], rot_x)
+        ex = _max_cos_sin_combo(size[1], size[0], rot_x)
         return np.maximum(size, [ey, ex])
 
     def grid(a):
@@ -128,8 +143,13 @@ def get_initial_patch_size(
     never reads outside the loaded patch (no zero corners)."""
     dim = len(patch_size)
     if covering:
-        final = _covering_extent(patch_size, rot_x, rot_y, rot_z)
-        final = final / min(scale_range)
+        ext = _covering_extent(patch_size, rot_x, rot_y, rot_z)
+        final = ext / min(scale_range)
+        if dim == 3:
+            # the 3D extent max is grid-sampled; one voxel of slack on every
+            # axis the rotation actually enlarged makes the no-outside-reads
+            # guarantee strict (see _covering_extent)
+            final = final + (ext > np.asarray(patch_size, np.float64) + 1e-9)
         return [int(math.ceil(v)) for v in final]
     rot_x = min(math.pi / 2, abs(rot_x))
     rot_y = min(math.pi / 2, abs(rot_y))

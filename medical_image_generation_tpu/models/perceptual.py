@@ -32,15 +32,19 @@ _VGG_PLAN = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
 
 class VGGFeatures(nn.Module):
-    """VGG16-topology 2D feature pyramid (channels-last)."""
+    """VGG16-topology 2D feature pyramid (channels-last). ``plan`` overrides
+    the stage layout — smaller plans trade perceptual-feature depth for
+    compile time and step cost (used e.g. by the multi-chip dryrun, where
+    the full 512-channel stack dominates the CPU compile budget)."""
 
     dtype: jnp.dtype = jnp.float32
+    plan: Tuple[Tuple[int, int], ...] = _VGG_PLAN
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, ...]:
         feats = []
         h = x.astype(self.dtype)
-        for stage, (ch, n_convs) in enumerate(_VGG_PLAN):
+        for stage, (ch, n_convs) in enumerate(self.plan):
             for i in range(n_convs):
                 h = nn.Conv(
                     ch, (3, 3), padding="SAME", dtype=self.dtype,
@@ -48,7 +52,7 @@ class VGGFeatures(nn.Module):
                 )(h)
                 h = nn.relu(h)
             feats.append(h)
-            if stage < len(_VGG_PLAN) - 1:
+            if stage < len(self.plan) - 1:
                 if min(h.shape[1:3]) < 2:
                     # small/rectangular inputs (fake-3D slice stacks) exhaust
                     # the pyramid early; pooling a size-1 axis would emit
@@ -83,12 +87,16 @@ class PerceptualLoss:
         fake_3d_ratio: float = 0.2,
         seed: int = 0,
         dtype=jnp.bfloat16,
+        feature_plan=None,
     ):
         assert network_type in ("vgg",), "only vgg-topology features supported"
         self.spatial_dims = spatial_dims
         self.is_fake_3d = is_fake_3d
         self.fake_3d_ratio = fake_3d_ratio
-        self.module = VGGFeatures(dtype=dtype)
+        self.plan = (
+            tuple(tuple(s) for s in feature_plan) if feature_plan else _VGG_PLAN
+        )
+        self.module = VGGFeatures(dtype=dtype, plan=self.plan)
         dummy = jnp.zeros((1, 32, 32, 3))
         self.params = self.module.init(jax.random.PRNGKey(seed), dummy)
 
@@ -104,14 +112,15 @@ class PerceptualLoss:
             is_fake_3d=params.get("is_fake_3d", False),
             fake_3d_ratio=params.get("fake_3d_ratio", 0.2),
             dtype=dtype,
+            feature_plan=params.get("feature_plan"),
         )
 
     def _load_npz_weights(self, path: str):
         data = np.load(path)
         params = jax.tree_util.tree_map(lambda x: x, self.params)  # copy
         flat = dict(params["params"])
-        for stage in range(len(_VGG_PLAN)):
-            for i in range(_VGG_PLAN[stage][1]):
+        for stage in range(len(self.plan)):
+            for i in range(self.plan[stage][1]):
                 name = f"conv{stage}_{i}"
                 if f"{name}.kernel" in data:
                     flat[name] = {

@@ -466,9 +466,11 @@ def main():
         args.dataset_id, args.model_type, "autoencoder",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
-    config = apply_overrides(config, args.overrides)
+    # filter BEFORE overrides (same ordering as all train CLIs; see
+    # apply_overrides): latent_space_type steers the filter's vq/vae branch
     config["latent_space_type"] = args.latent_space_type
     config = filter_config_by_mode(config, "train_autoencoder")
+    config = apply_overrides(config, args.overrides)
     print_configuration(config, config["results_path"], "train", model="autoencoder")
     trainer = AutoEncoderTrainer(config, latent_space_type=args.latent_space_type)
     train_loader, val_loader = get_data_loaders(

@@ -598,9 +598,14 @@ def main():
         args.dataset_id, args.model_type, "ldm",
         progress_bar=args.progress_bar, continue_training=args.continue_training,
     )
-    config = apply_overrides(config, args.overrides)
+    # filter BEFORE overrides (same ordering as all train CLIs): the user's
+    # --set must win over mode filtering, and apply_overrides warns when an
+    # override targets a key the mode dropped. latent_space_type comes from
+    # its own CLI arg and steers the filter's vq/vae branch, so it is set
+    # first.
     config["latent_space_type"] = args.latent_space_type
     config = filter_config_by_mode(config, "train_ldm")
+    config = apply_overrides(config, args.overrides)
     # LDM consumes the AE's best checkpoint (reference train_ldm.py:631-636)
     results_root = os.getenv("medimgen_results")
     ae_best = os.path.join(

@@ -2,9 +2,13 @@
 
 Times the SHIPPED AutoEncoderTrainer jitted G+D step (L1 + fake-3D VGG
 perceptual + KL + LSGAN adversarial, generator and discriminator updates in
-one program) on (2, 128, 128, 128, 1) — the stage users must train before
-the LDM. The lane-packed encoder/decoder paths (models/packed_encoder.py)
-engage here on both the forward and backward.
+one program) on the batch the host loader actually emits — the
+rotation/scale-ENLARGED initial patch (2, 128, 165, 165, 1) under the
+planner default (data/patches.py compute_initial_patch_size; the in-step
+augmentation samples/crops back to 128^3). MEDIMGEN_BENCH_ENLARGE=0 times
+the reference-parity non-enlarged (2, 128, 128, 128, 1) mode. The
+lane-packed encoder/decoder paths (models/packed_encoder.py) engage here on
+both the forward and backward.
 
 Prints one JSON line.
 """
@@ -54,9 +58,21 @@ def main():
     )
     config["task"] = "TaskBench"
 
+    if os.environ.get("MEDIMGEN_BENCH_ENLARGE", "1") == "0":
+        config["ae_transformations"] = dict(
+            config["ae_transformations"], initial_patch_enlargement=False
+        )
+
+    from medical_image_generation_tpu.data.patches import (
+        compute_initial_patch_size,
+    )
+
+    initial = compute_initial_patch_size(config["ae_transformations"])
+    sys.stderr.write(f"bench batch spatial shape: {tuple(initial)}\n")
+
     trainer = AutoEncoderTrainer(config)
     batch = np.random.default_rng(0).uniform(
-        0, 1, size=(BATCH, 128, 128, 128, 1)
+        0, 1, size=(BATCH, *initial, 1)
     ).astype(np.float32)
     g_state, d_state = trainer._build_states(batch)
     step = trainer._make_train_step(adv_on=True)
@@ -83,8 +99,10 @@ def main():
         sync(metrics)
         elapsed = time.time() - t0
 
+    enlarged = os.environ.get("MEDIMGEN_BENCH_ENLARGE", "1") != "0"
+    tag = "enlarged 128x165x165 patch" if enlarged else "128^3 patch"
     print(json.dumps({
-        "metric": "3D AE (G+D) train steps/sec/chip @128^3 (batch 2, bf16)",
+        "metric": f"3D AE (G+D) train steps/sec/chip @128^3 (batch 2 of {tag}, bf16)",
         "value": round(N_MEASURE / elapsed, 4),
         "unit": "steps/s",
         "vs_baseline": None,

@@ -64,11 +64,13 @@ class TestInitialPatchSize:
         assert all(g >= r for g, r in zip(got, ref))
 
     def test_3d_inplane_rotation_leaves_depth(self):
-        # rotation about patch axis 0 (depth): axis 0 extent unchanged
+        # rotation about patch axis 0 (depth): axis 0 extent unchanged (and
+        # gets NO grid-slack voxel); the rotated plane axes carry +1 slack
+        # because the 3D extent max is grid-sampled (strict-cover guarantee)
         a = 0.174533
         got = get_initial_patch_size([64, 96, 96], a, 0, 0, (1.0, 1.0),
                                      covering=True)
-        exp_plane = math.ceil(96 * math.cos(a) + 96 * math.sin(a))
+        exp_plane = math.ceil(96 * math.cos(a) + 96 * math.sin(a) + 1)
         assert got == [64, exp_plane, exp_plane]
 
     def test_scale_divides(self):

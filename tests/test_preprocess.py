@@ -280,6 +280,40 @@ class TestFilterConfigByMode:
         out = filter_config_by_mode(cfg, "train_ddpm")
         assert out["time_scheduler_params"]["beta_start"] == 0.0015
 
+    def test_override_after_filter_wins_over_schedule_swap(self, capsys):
+        # all train CLIs filter FIRST, then apply --set (round-4 advisor:
+        # train_ddpm diverged from ldm/ae); the user's override must land on
+        # the post-swap key the trainer actually reads
+        from medical_image_generation_tpu.config.run import (
+            apply_overrides,
+            filter_config_by_mode,
+        )
+
+        cfg = dict(self._cfg(),
+                   time_scheduler_params={"beta_start": 0.0015},
+                   ddpm_time_scheduler_params={"beta_start": 0.0005,
+                                               "schedule": "linear_beta"})
+        out = filter_config_by_mode(cfg, "train_ddpm")
+        out = apply_overrides(out, ["time_scheduler_params.beta_start=0.01"])
+        assert out["time_scheduler_params"]["beta_start"] == 0.01
+        assert "WARNING" not in capsys.readouterr().out
+
+    def test_override_of_mode_dropped_key_warns(self, capsys):
+        from medical_image_generation_tpu.config.run import (
+            apply_overrides,
+            filter_config_by_mode,
+        )
+
+        cfg = dict(self._cfg(),
+                   ddpm_time_scheduler_params={"beta_start": 0.0005})
+        out = filter_config_by_mode(cfg, "train_ddpm")
+        # the swap pops the planner key; targeting it post-filter is inert
+        # for the trainer and must be called out
+        out = apply_overrides(
+            out, ["ddpm_time_scheduler_params.beta_start=0.01"])
+        assert "WARNING" in capsys.readouterr().out
+        assert out["ddpm_time_scheduler_params"]["beta_start"] == 0.01
+
     def test_planner_emits_ddpm_schedule(self):
         from medical_image_generation_tpu.planning.planner import (
             create_autoencoder_dict,
