@@ -75,6 +75,11 @@ def main():
         0, 1, size=(BATCH, *initial, 1)
     ).astype(np.float32)
     g_state, d_state = trainer._build_states(batch)
+    # device-resident batch, as bench.py: the step PROGRAM is what is being
+    # measured; a host numpy arg would re-ride the axon tunnel every call
+    # and the transfer cost would swamp the A/B (trainers device_put each
+    # loader batch while the previous step executes)
+    batch = jax.device_put(batch)
     step = trainer._make_train_step(adv_on=True)
 
     def sync(x):

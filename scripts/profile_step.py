@@ -62,7 +62,9 @@ def capture_ae(trace_dir: str, n_steps: int = 5) -> None:
     )
 
     vae_cfg, ddpm_cfg = _flagship_configs()
-    vae_cfg = dict(vae_cfg, use_checkpointing=True)
+    vae_cfg = dict(vae_cfg, use_checkpointing=True,
+                   remat_policy=os.environ.get(
+                       "MEDIMGEN_BENCH_REMAT_POLICY", "acts"))
     ds = {"median_shape": (128, 128, 128), "max_shape": (128, 128, 128)}
     config = create_config_dict(ds, [0], 1, vae_cfg, ddpm_cfg)
     config["results_path"] = os.path.join(
@@ -70,9 +72,21 @@ def capture_ae(trace_dir: str, n_steps: int = 5) -> None:
     )
     config["task"] = "TaskBench"
 
+    if os.environ.get("MEDIMGEN_BENCH_ENLARGE", "1") == "0":
+        config["ae_transformations"] = dict(
+            config["ae_transformations"], initial_patch_enlargement=False
+        )
+    from medical_image_generation_tpu.data.patches import (
+        compute_initial_patch_size,
+    )
+
+    initial = compute_initial_patch_size(config["ae_transformations"])
+    print(f"profiling AE step on batch (2, {initial[0]}, {initial[1]}, "
+          f"{initial[2]}, 1)")
+
     trainer = AutoEncoderTrainer(config)
     batch = np.random.default_rng(0).uniform(
-        0, 1, size=(2, 128, 128, 128, 1)
+        0, 1, size=(2, *initial, 1)
     ).astype(np.float32)
     g_state, d_state = trainer._build_states(batch)
     step = trainer._make_train_step(adv_on=True)

@@ -48,6 +48,22 @@ class TestPerceptualLoss:
         g = jax.grad(f)(x + 0.1)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_feature_plan_override(self):
+        # perceptual_params.feature_plan shrinks the feature stack (used by
+        # the multi-chip dryrun for compile budget); it must change the
+        # param tree, stay ordered by distortion, and round-trip from_config
+        small = PerceptualLoss.from_config(
+            {"spatial_dims": 2, "feature_plan": [[8, 1], [16, 1]]},
+            dtype=jnp.float32,
+        )
+        assert small.plan == ((8, 1), (16, 1))
+        assert set(small.params["params"]) == {"conv0_0", "conv1_0"}
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 1))
+        slight = x + 0.01 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+        heavy = x + 0.3 * jax.random.normal(jax.random.PRNGKey(2), x.shape)
+        assert float(small(x, x)) == pytest.approx(0.0, abs=1e-6)
+        assert float(small(x, slight)) < float(small(x, heavy))
+
 
 class TestProfilingUtils:
     def test_step_timer_stats(self):
