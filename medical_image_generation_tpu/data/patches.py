@@ -95,8 +95,8 @@ def _covering_extent(
     grid; the caller (get_initial_patch_size) adds one voxel of slack there,
     which strictly dominates the sub-voxel grid error: near the maximum the
     extent is stationary, so the error is ~0.5*|f''|*h^2 with
-    |f''| <= extent <= sum(size) and grid half-spacing h <= pi/96 per axis —
-    well under 0.2 voxel even at 128^3."""
+    |f''| <= extent <= sum(size) and grid half-spacing h <= pi/48 per axis —
+    well under half a voxel even at 128^3."""
     size = np.asarray(patch_size, np.float64)
     if len(size) == 2:
         ey = _max_cos_sin_combo(size[0], size[1], rot_x)
