@@ -18,6 +18,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: a fresh full-suite run is ~50 min, dominated
+# by CPU compiles; cached re-runs cut most of that. CPU compiles DO populate
+# the local cache (unlike the axon remote path). Harmless for correctness —
+# keys cover the HLO, so env-flag variants (packed/unpacked, GN backends)
+# cache separately.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import json  # noqa: E402
 

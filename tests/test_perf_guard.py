@@ -144,3 +144,67 @@ def test_flagship_step_uses_packed_encoder(monkeypatch):
         "sabotaged dispatch did not reproduce the unpacked lowering — the "
         "guard's detection signal is not what it claims"
     )
+
+
+@pytest.mark.slow
+def test_stage1_step_uses_packed_paths(monkeypatch):
+    """Same guard for the stage-1 AE G+D program (bench_ae.py / the real
+    AutoEncoderTrainer step at the flagship config, remat acts, enlarged
+    batch): the lane-packed encode AND decode dispatch must shape the
+    lowered program — without them stage-1 does not even fit HBM
+    (BENCH_NOTES: 18.54 GB OOM unpacked-no-remat; the packed+remat step is
+    the 1.59 steps/s record-holder)."""
+    import numpy as np
+
+    from __graft_entry__ import _flagship_configs
+    from medical_image_generation_tpu.data.patches import (
+        compute_initial_patch_size,
+    )
+    from medical_image_generation_tpu.planning.planner import create_config_dict
+    from medical_image_generation_tpu.training import common
+    from medical_image_generation_tpu.training.train_autoencoder import (
+        AutoEncoderTrainer,
+    )
+
+    vae_cfg, ddpm_cfg = _flagship_configs()
+    vae_cfg = dict(vae_cfg, use_checkpointing=True, remat_policy="acts")
+    ds = {"median_shape": (128, 128, 128), "max_shape": (128, 128, 128)}
+    config = create_config_dict(ds, [0], 1, vae_cfg, ddpm_cfg)
+    config["results_path"] = tempfile.mkdtemp(prefix="medimgen_perfguard_ae_")
+    config["task"] = "TaskPerfGuardAE"
+
+    trainer = AutoEncoderTrainer(config, dtype=jnp.bfloat16)
+    initial = compute_initial_patch_size(config["ae_transformations"])
+    batch_sds = jax.ShapeDtypeStruct((2, *initial, 1), jnp.float32)
+    rng_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    x1 = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def make_states(r):
+        g_vars = trainer.model.init({"params": r}, x1, r)
+        d_vars = trainer.discriminator.init(jax.random.PRNGKey(1), x1)
+        tx = common.make_optimizer(5e-5, trainer.clip, trainer.grad_accum)
+        g = common.TrainState.create(
+            apply_fn=trainer.model.apply, params=g_vars["params"], tx=tx
+        )
+        d = common.TrainState.create(
+            apply_fn=trainer.discriminator.apply, params=d_vars["params"], tx=tx
+        )
+        return g, d
+
+    g_abs, d_abs = jax.eval_shape(make_states, rng)
+    args = (g_abs, d_abs, batch_sds, rng_sds)
+
+    monkeypatch.delenv("MEDIMGEN_DISABLE_PACKED_ENCODER", raising=False)
+    with trainer.mesh:
+        packed_text = trainer._make_train_step(adv_on=True).lower(*args).as_text()
+    monkeypatch.setenv("MEDIMGEN_DISABLE_PACKED_ENCODER", "1")
+    with trainer.mesh:
+        unpacked_text = trainer._make_train_step(adv_on=True).lower(*args).as_text()
+
+    assert packed_text != unpacked_text, (
+        "stage-1 G+D step lowered identically with the packed paths disabled "
+        "— the lane-packed encode/decode is no longer engaged"
+    )
+    assert abs(len(packed_text) - len(unpacked_text)) > 1000
