@@ -211,6 +211,64 @@ class TestRingDispatch:
         assert called["n"] == 1
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
 
+    def test_ring_gradients_inside_unet(self, monkeypatch):
+        """Reverse mode THROUGH the ring dispatch inside a real model's
+        attention block — the pod-scale training composition (UNet fwd+bwd
+        with sequence-parallel attention). The round-4 dryrun exercised this
+        inside the full LDM step and blew the CPU compile budget; this
+        bounded version pins the same composition: grads through
+        jit(grad(UNet.apply)) with the ring engaged must be finite and match
+        the single-device attention path."""
+        import medical_image_generation_tpu.ops.ring_attention as ra
+        from medical_image_generation_tpu.models.diffusion_unet import (
+            DiffusionUNet,
+        )
+
+        called = {"n": 0}
+        orig = ra.ring_attention
+
+        def spy(*args, **kwargs):
+            called["n"] += 1
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(ra, "ring_attention", spy)
+
+        from medical_image_generation_tpu.planning.planner import (
+            create_ddpm_dict,
+        )
+
+        ds = {"median_shape": (8, 16, 16), "max_shape": (8, 16, 16)}
+        ddpm_params = create_ddpm_dict(ds, spatial_dims=2)
+        nl = len(ddpm_params["num_channels"])
+        ddpm_params.update(
+            num_channels=[8, 16][:nl], num_head_channels=[0, 8][:nl],
+            norm_num_groups=4, num_res_blocks=1, in_channels=4,
+            out_channels=4,
+        )
+        unet = DiffusionUNet.from_config(ddpm_params, dtype=jnp.float32)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        t = jnp.zeros((2,), jnp.int32)
+        variables = unet.init(jax.random.PRNGKey(1), x, t)
+
+        def loss(params):
+            return jnp.mean(unet.apply({"params": params}, x, t) ** 2)
+
+        mesh = get_mesh(n_devices=8, model_parallel=2)
+        # level-1 grid is 8x8 = 64 tokens; gate at 32 engages the ring there
+        monkeypatch.setenv("MEDIMGEN_RING_MIN_SEQ", "32")
+        with mesh:
+            g_ring = jax.jit(jax.grad(loss))(variables["params"])
+        assert called["n"] > 0, "ring never engaged inside the UNet"
+        monkeypatch.setenv("MEDIMGEN_RING_MIN_SEQ", str(1 << 30))
+        g_ref = jax.jit(jax.grad(loss))(variables["params"])
+
+        for a, b in zip(jax.tree_util.tree_leaves(g_ring),
+                        jax.tree_util.tree_leaves(g_ref)):
+            assert np.isfinite(np.asarray(a)).all()
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+            )
+
     def test_no_ring_without_mesh(self, monkeypatch):
         import medical_image_generation_tpu.ops.ring_attention as ra
 
