@@ -52,6 +52,26 @@ class TestStructuredDataset:
         assert not np.allclose(a, b)  # patient-specific pose/intensity
 
 
+class TestScriptRotGuard:
+    @pytest.mark.parametrize("module", [
+        "scripts.bench_ae", "scripts.bench_attention", "scripts.bench_decode",
+        "scripts.bench_encode", "scripts.bench_micro", "scripts.bench_opt",
+        "scripts.bench_sampler", "scripts.diversity_baseline",
+        "scripts.dump_decode_hlo", "scripts.probe_ae_memory",
+        "scripts.profile_step", "scripts.quality_run",
+        "tools.convert_torch_weights", "tools.fetch_pretrained_weights",
+    ])
+    def test_importable(self, module):
+        """Every operational script imports cleanly (main() guarded) — the
+        scripts are the repo's measurement/evidence machinery and have no
+        other test coverage; an API drift in the package must fail HERE,
+        not on the chip mid-benchmark."""
+        import importlib
+
+        mod = importlib.import_module(module)  # import success IS the test
+        assert hasattr(mod, "main")
+
+
 class TestDiversityBaselineMetricPath:
     def test_pairwise_bound_interpretation(self):
         # the baseline's core claim: identical samples score ~1, independent
